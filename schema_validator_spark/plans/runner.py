@@ -1,0 +1,158 @@
+"""ValidationPlan — apply a compiled constraint plan to a DataFrame.
+
+One ``select`` projection computes every field's transformed value and every
+check's violation struct simultaneously (single-pass; SURVEY.md §4 "what we
+must do explicitly").  Output contract per row:
+
+- each schema field column holds the validated/transformed value (NULL if the
+  field failed),
+- ``violations: array<struct<field,code,message>>`` holds ALL field errors
+  (the reference accumulates across fields, object.rs:288-306),
+- ``valid: boolean`` = violations is empty,
+- non-schema columns pass through untouched (object.rs:269).
+
+Per-partition verdict aggregation and metric ``Observation`` (metrics computed
+during the same action that materializes the rows — zero extra scans) live
+here too.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..errors import OBJECT_ERROR
+from ..schema import BaseSchema, ObjectSchema
+from .compile import CompiledField, compile_field, compile_object
+
+VIOLATIONS_COL = "violations"
+VALID_COL = "valid"
+
+
+class ValidationPlan:
+    """Compiled, reusable plan for one object schema."""
+
+    def __init__(self, obj: ObjectSchema):
+        self.schema = obj
+
+    # -- row-level ------------------------------------------------------
+    def _compiled(self, df: DataFrame) -> list[CompiledField]:
+        return compile_object(self.schema, df.schema)
+
+    def apply(self, df: DataFrame, keep_original: bool = False) -> DataFrame:
+        """Validate + transform in one projection.
+
+        ``keep_original=True`` keeps input columns as ``_raw_<name>`` next to
+        the validated outputs (useful for violation triage)."""
+        fields = self._compiled(df)
+        field_names = {f.name for f in fields}
+        passthrough = [c for c in df.columns if c not in field_names]
+
+        cols: list[Column] = [F.col(c) for c in passthrough]
+        if keep_original:
+            cols += [
+                F.col(f.name).alias(f"_raw_{f.name}")
+                for f in fields
+                if f.name in df.columns
+            ]
+        cols += [f.value.alias(f.name) for f in fields]
+
+        viol_array = F.filter(
+            F.array(*[f.violation for f in fields]), lambda v: v.isNotNull()
+        )
+        cols.append(viol_array.alias(VIOLATIONS_COL))
+        cols.append((F.size(viol_array) == 0).alias(VALID_COL))
+        return df.select(*cols)
+
+    # -- derived outputs -------------------------------------------------
+    def violations(
+        self, validated: DataFrame, key_cols: Sequence[str] = ()
+    ) -> DataFrame:
+        """Explode to one row per (input row, failed field): the engine's
+        violation sink (SURVEY.md §2.B)."""
+        v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+        return validated.where(~F.col(VALID_COL)).select(*key_cols, v).select(
+            *key_cols,
+            F.col("v.field").alias("field"),
+            F.col("v.code").alias("code"),
+            F.col("v.message").alias("message"),
+        )
+
+    def object_error(self) -> Column:
+        """Row-level OBJECT_ERROR rendering (error.rs:113-117): NULL when the
+        row passed, else struct(code, message).  set_message on the object
+        replaces both (object.rs:139-149)."""
+        cfg = self.schema.error_config
+        if cfg is not None:
+            code, msg = F.lit(cfg.code), F.lit(cfg.message)
+        else:
+            code = F.lit(OBJECT_ERROR)
+            entries = F.transform(
+                F.col(VIOLATIONS_COL),
+                lambda v: F.format_string(
+                    '("%s", ValidationError { code: "%s", message: "%s" })',
+                    v.field,
+                    v.code,
+                    v.message,
+                ),
+            )
+            msg = F.concat(
+                F.lit("Object validation failed: ["),
+                F.array_join(entries, ", "),
+                F.lit("]"),
+            )
+        return F.when(
+            ~F.col(VALID_COL), F.struct(code.alias("code"), msg.alias("message"))
+        )
+
+    def verdicts(
+        self, validated: DataFrame, partition_cols: Sequence[str] = ()
+    ) -> DataFrame:
+        """Per-partition pass/fail verdict rows.  With no partition columns,
+        groups by ``spark_partition_id()`` — one verdict per physical
+        partition, the unit of resume (SURVEY.md §2.B)."""
+        if partition_cols:
+            keys = [F.col(c) for c in partition_cols]
+        else:
+            keys = [F.spark_partition_id().alias("partition_id")]
+        agg = validated.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.col(VALID_COL).cast("long")).alias("passed_rows"),
+            F.sum((~F.col(VALID_COL)).cast("long")).alias("failed_rows"),
+        )
+        return agg.withColumn(
+            "pass", F.col("failed_rows") == 0
+        )
+
+    def run_with_metrics(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, Observation]:
+        """Attach an Observation so total/passed/failed metrics are collected
+        during whichever SINGLE action downstream materializes the result —
+        the scan happens exactly once (no second metrics job)."""
+        validated = self.apply(df)
+        obs = Observation("validation_metrics")
+        observed = validated.observe(
+            obs,
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.col(VALID_COL).cast("long")).alias("passed_rows"),
+            F.sum(F.size(F.col(VIOLATIONS_COL))).alias("violation_count"),
+        )
+        return observed, obs
+
+
+def validate_column(
+    df: DataFrame, column: str, sch: BaseSchema, alias: Optional[str] = None
+) -> DataFrame:
+    """Scalar-schema convenience (reference entry point 1, lib.rs:59-101):
+    validate one column, appending ``<alias>`` value + ``violation`` struct."""
+    alias = alias or column
+    src = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))[column]
+    cf = compile_field(sch, F.col(column), column, src)
+    return df.select(
+        "*",
+        cf.value.alias(f"{alias}_validated"),
+        cf.violation.alias(f"{alias}_violation"),
+    )

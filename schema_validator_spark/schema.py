@@ -1,0 +1,287 @@
+"""Fluent, Zod-style schema builder — the declarative front end of the engine.
+
+Parity target: /root/reference/src/lib.rs:291-528 (``schema()`` →
+``SchemaBuilder`` / ``CoerceBuilder``), src/schema/string.rs (StringSchema +
+TransformedSchema), number.rs, boolean.rs, object.rs, optional.rs, literal.rs.
+
+The builder produces a pure declaration; ``plans.compile`` turns it into a
+single-pass DataFrame projection (value columns + violation columns).  Nothing
+here touches Spark — schemas are cheap, picklable descriptions.
+
+Semantic quirk replicated from the reference (string.rs:251-283): once a string
+schema has ANY transform in its chain, validation becomes
+``type/coerce → all transforms → pattern only`` — min_length/max_length are
+silently dropped.  See ``StringSchema.has_transforms``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from .errors import ErrorConfig
+from .functions.patterns import BUILTIN_CONFIGS
+
+
+class BaseSchema:
+    """Shared bits: coerce flag, custom error config, optional wrapper."""
+
+    kind: str = "base"
+
+    def __init__(self, coerce: bool = False):
+        self.coerce = coerce
+        self.error_config: Optional[ErrorConfig] = None
+        self.nullable = False
+
+    def set_message(self, code: str, message: str):
+        """Override code+message for every error this schema emits
+        (error.rs:59-66; e.g. string.rs:321-331)."""
+        self.error_config = ErrorConfig(code, message)
+        return self
+
+    def optional(self):
+        """Accept NULL (→ NULL output, no violation); otherwise validate the
+        inner schema (optional.rs:65-98, mod.rs:92-97)."""
+        self.nullable = True
+        return self
+
+
+@dataclass
+class Transform:
+    """One step of a transform chain.
+
+    ``name`` is a built-in ('trim', 'lower', 'upper') compiled to native JVM
+    expressions, or 'custom' carrying a Python callable that is fused with its
+    neighbours into a single Arrow-vectorized pandas UDF stage.
+    """
+
+    name: str
+    fn: Optional[Callable] = None
+    return_type: str = "string"  # Spark DDL type of the output
+
+
+class StringSchema(BaseSchema):
+    """string.rs:286-303 — coerce, pattern, min/max length, transforms."""
+
+    kind = "string"
+
+    def __init__(self, coerce: bool = False):
+        super().__init__(coerce)
+        self.pattern_regex: Optional[str] = None
+        self.min_len: Optional[int] = None
+        self.max_len: Optional[int] = None
+        self.transforms: list[Transform] = []
+
+    # -- checks ---------------------------------------------------------
+    def pattern(self, regex: str):
+        """string.rs:352-355. Regex must be dialect-neutral (documented) —
+        evaluated via Java regex (`rlike`) JVM-side.
+
+        The reference panics at schema build time on an invalid pattern
+        (string.rs:353, ``Regex::new(..).unwrap()``); we raise a clear
+        ``ValueError`` here instead of a runtime executor failure.
+        """
+        import re as _re
+
+        try:
+            _re.compile(regex)
+        except _re.error as exc:
+            raise ValueError(f"invalid regex pattern {regex!r}: {exc}") from None
+        self.pattern_regex = regex
+        return self
+
+    def min_length(self, n: int):
+        """Byte length ≥ n (Rust String::len is bytes; string.rs:574-577)."""
+        self.min_len = n
+        return self
+
+    def max_length(self, n: int):
+        self.max_len = n
+        return self
+
+    # -- built-in patterns (string.rs:370-553) --------------------------
+    def _builtin(self, name: str):
+        regex, code, message = BUILTIN_CONFIGS[name]
+        self.pattern_regex = regex
+        self.error_config = ErrorConfig(code, message)
+        return self
+
+    def email(self):
+        return self._builtin("email")
+
+    def url(self):
+        return self._builtin("url")
+
+    def date(self):
+        return self._builtin("date")
+
+    def time(self):
+        return self._builtin("time")
+
+    def uuid(self):
+        return self._builtin("uuid")
+
+    def ipv4(self):
+        return self._builtin("ipv4")
+
+    def phone(self):
+        return self._builtin("phone")
+
+    def username(self):
+        return self._builtin("username")
+
+    def password(self):
+        return self._builtin("password")
+
+    # -- transforms (string.rs:621-698) ---------------------------------
+    @property
+    def has_transforms(self) -> bool:
+        return bool(self.transforms)
+
+    def trim(self):
+        """Unicode-whitespace trim both ends (string.rs:646-648)."""
+        self.transforms.append(Transform("trim"))
+        return self
+
+    def to_lowercase(self):
+        self.transforms.append(Transform("lower"))
+        return self
+
+    def to_uppercase(self):
+        self.transforms.append(Transform("upper"))
+        return self
+
+    def transform(self, fn: Callable[[Any], Any], return_type: str = "string"):
+        """Arbitrary transform — compiled into a fused pandas UDF stage
+        (Arrow-vectorized Series→Series; never per-row Python)."""
+        self.transforms.append(Transform("custom", fn, return_type))
+        return self
+
+    @property
+    def output_type(self) -> str:
+        for t in reversed(self.transforms):
+            if t.name == "custom":
+                return t.return_type
+        return "string"
+
+
+class NumberSchema(BaseSchema):
+    """number.rs:7-109 — f64 semantics; coercion from i64/string/bool."""
+
+    kind = "number"
+
+    def __init__(self, coerce: bool = False):
+        super().__init__(coerce)
+        self.transforms: list[Transform] = []
+
+    def transform(self, fn: Callable[[float], float]):
+        """f64→f64 pipeline applied after validation (number.rs:44-57, 99)."""
+        self.transforms.append(Transform("custom", fn, "double"))
+        return self
+
+    @property
+    def output_type(self) -> str:
+        return "double"
+
+
+class BooleanSchema(BaseSchema):
+    """boolean.rs:7-111 — bool semantics; JS-style truthiness coercion."""
+
+    kind = "boolean"
+
+    def __init__(self, coerce: bool = False):
+        super().__init__(coerce)
+        self.transforms: list[Transform] = []
+
+    def transform(self, fn: Callable[[bool], bool]):
+        self.transforms.append(Transform("custom", fn, "boolean"))
+        return self
+
+    @property
+    def output_type(self) -> str:
+        return "boolean"
+
+
+class LiteralSchema(BaseSchema):
+    """literal.rs:7-80 — strict type check then equality; both failures are
+    LITERAL_ERROR with Rust Debug-formatted expected/got."""
+
+    kind = "literal"
+
+    def __init__(self, value):
+        super().__init__(coerce=False)
+        if not isinstance(value, (str, bool, int, float)):
+            raise TypeError(f"literal() supports str/i64/f64/bool, got {type(value)}")
+        self.value = value
+
+    @property
+    def output_type(self) -> str:
+        if isinstance(self.value, bool):
+            return "boolean"
+        if isinstance(self.value, str):
+            return "string"
+        if isinstance(self.value, float):
+            return "double"
+        return "bigint"
+
+
+class ObjectSchema(BaseSchema):
+    """object.rs:79-392 — named field schemas over a flat row.
+
+    Validation accumulates ALL field errors (no cross-field short-circuit,
+    object.rs:288-306); extra input columns are silently ignored
+    (object.rs:269); a schema field absent from the DataFrame is a Missing
+    violation using the object-level error config (object.rs:297-305).
+    """
+
+    kind = "object"
+
+    def __init__(self):
+        super().__init__(coerce=False)
+        self.fields: dict[str, BaseSchema] = {}
+
+    def field(self, name: str, schema: BaseSchema):
+        self.fields[name] = schema
+        return self
+
+    def result_type(self):
+        """StructType of the validated output — the analog of
+        ``validate_as::<T>`` / #[derive(Validate)] (object.rs:381-392)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        return StructType(
+            [
+                StructField(n, _parse_datatype_string(getattr(s, "output_type", "string")), True)
+                for n, s in self.fields.items()
+            ]
+        )
+
+
+class SchemaFactory:
+    """``schema()`` entry point (lib.rs:526-528, SchemaBuilder lib.rs:291-294)."""
+
+    def __init__(self, coerce: bool = False):
+        self._coerce = coerce
+
+    def string(self) -> StringSchema:
+        return StringSchema(self._coerce)
+
+    def number(self) -> NumberSchema:
+        return NumberSchema(self._coerce)
+
+    def boolean(self) -> BooleanSchema:
+        return BooleanSchema(self._coerce)
+
+    def object(self) -> ObjectSchema:
+        return ObjectSchema()
+
+    def literal(self, value) -> LiteralSchema:
+        return LiteralSchema(value)
+
+    def coerce(self) -> "SchemaFactory":
+        """lib.rs:472-505 — same constructors with coercion enabled."""
+        return SchemaFactory(coerce=True)
+
+
+def schema() -> SchemaFactory:
+    return SchemaFactory()
