@@ -146,6 +146,19 @@ def _fused_pandas_transform(transforms: list[Transform], out_ddl: str):
     return F.pandas_udf(run, out_ddl)
 
 
+def _optional_pandas_transform(transforms: list[Transform], out_ddl: str):
+    """Option-mapping pandas UDF: None-aware (fn receives Python None)."""
+    fns = [t.fn for t in transforms]
+
+    def run(series: pd.Series) -> pd.Series:
+        vals = [None if pd.isna(v) else v for v in series]
+        for fn in fns:
+            vals = [fn(v) for v in vals]
+        return pd.Series(vals, dtype=object)
+
+    return F.pandas_udf(run, out_ddl)
+
+
 def _apply_transforms(s: Column, transforms: list[Transform], out_ddl: str) -> Column:
     if not transforms:
         return s
@@ -165,7 +178,7 @@ def _compile_string(
     sch: StringSchema, col: Column, name: str, src: T.DataType
 ) -> CompiledField:
     tn = spark_type_name(src)
-    out_ddl = sch.output_type
+    out_ddl = sch.inner_output_type
     cfg = sch.error_config
 
     # type / coerce stage (string.rs:705-717, coerce 684-698)
@@ -429,6 +442,15 @@ def compile_field(
     if fn is None:
         raise TypeError(f"cannot compile schema kind {sch.kind!r}")
     cf = fn(sch, col, name, src)
+    if sch.nullable:
+        # Covers constant-violation fields too (e.g. optional string over a
+        # long column): explicit NULL always passes (optional.rs:375-386).
+        cf = CompiledField(
+            name,
+            F.when(col.isNull(), F.lit(None).cast(cf.out_ddl)).otherwise(cf.value),
+            F.when(col.isNull(), _null_viol()).otherwise(cf.violation),
+            cf.out_ddl,
+        )
     if missing_cfg is not None and not sch.nullable and not (
         isinstance(sch, BooleanSchema) and sch.coerce
     ):
@@ -442,6 +464,19 @@ def compile_field(
                 _viol(name, F.lit(missing_cfg.code), F.lit(missing_cfg.message)),
             ).otherwise(cf.violation),
             cf.out_ddl,
+        )
+    if getattr(sch, "opt_transforms", None):
+        # Option-mapping transforms (optional.rs:36-47, 56-63): the callable
+        # sees None for NULL inputs, so run over every non-violating row.
+        out_ddl = sch.opt_transforms[-1].return_type
+        udf = _optional_pandas_transform(sch.opt_transforms, out_ddl)
+        cf = CompiledField(
+            name,
+            F.when(cf.violation.isNull(), udf(cf.value)).otherwise(
+                F.lit(None).cast(out_ddl)
+            ),
+            cf.violation,
+            out_ddl,
         )
     return cf
 

@@ -32,6 +32,9 @@ class BaseSchema:
         self.coerce = coerce
         self.error_config: Optional[ErrorConfig] = None
         self.nullable = False
+        # transforms attached AFTER .optional() — Option<T> → U semantics
+        # (optional.rs:36-47): the callable receives None for NULL inputs.
+        self.opt_transforms: list = []
 
     def set_message(self, code: str, message: str):
         """Override code+message for every error this schema emits
@@ -153,16 +156,30 @@ class StringSchema(BaseSchema):
 
     def transform(self, fn: Callable[[Any], Any], return_type: str = "string"):
         """Arbitrary transform — compiled into a fused pandas UDF stage
-        (Arrow-vectorized Series→Series; never per-row Python)."""
-        self.transforms.append(Transform("custom", fn, return_type))
+        (Arrow-vectorized Series→Series; never per-row Python).
+
+        Called after ``.optional()`` this becomes an Option-mapping transform:
+        ``fn`` receives ``None`` for NULL inputs (optional.rs:36-47)."""
+        if self.nullable:
+            self.opt_transforms.append(Transform("custom", fn, return_type))
+        else:
+            self.transforms.append(Transform("custom", fn, return_type))
         return self
 
     @property
-    def output_type(self) -> str:
+    def inner_output_type(self) -> str:
+        """Output type before any optional-transform stage."""
         for t in reversed(self.transforms):
             if t.name == "custom":
                 return t.return_type
         return "string"
+
+    @property
+    def output_type(self) -> str:
+        for t in reversed(self.opt_transforms):
+            if t.name == "custom":
+                return t.return_type
+        return self.inner_output_type
 
 
 class NumberSchema(BaseSchema):
@@ -174,13 +191,20 @@ class NumberSchema(BaseSchema):
         super().__init__(coerce)
         self.transforms: list[Transform] = []
 
-    def transform(self, fn: Callable[[float], float]):
-        """f64→f64 pipeline applied after validation (number.rs:44-57, 99)."""
-        self.transforms.append(Transform("custom", fn, "double"))
+    def transform(self, fn: Callable[[float], float], return_type: str = "double"):
+        """f64→f64 pipeline applied after validation (number.rs:44-57, 99).
+        After ``.optional()``: Option<f64> → U (optional.rs:36-47)."""
+        if self.nullable:
+            self.opt_transforms.append(Transform("custom", fn, return_type))
+        else:
+            self.transforms.append(Transform("custom", fn, "double"))
         return self
 
     @property
     def output_type(self) -> str:
+        for t in reversed(self.opt_transforms):
+            if t.name == "custom":
+                return t.return_type
         return "double"
 
 
@@ -193,12 +217,18 @@ class BooleanSchema(BaseSchema):
         super().__init__(coerce)
         self.transforms: list[Transform] = []
 
-    def transform(self, fn: Callable[[bool], bool]):
-        self.transforms.append(Transform("custom", fn, "boolean"))
+    def transform(self, fn: Callable[[bool], bool], return_type: str = "boolean"):
+        if self.nullable:
+            self.opt_transforms.append(Transform("custom", fn, return_type))
+        else:
+            self.transforms.append(Transform("custom", fn, "boolean"))
         return self
 
     @property
     def output_type(self) -> str:
+        for t in reversed(self.opt_transforms):
+            if t.name == "custom":
+                return t.return_type
         return "boolean"
 
 
