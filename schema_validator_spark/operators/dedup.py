@@ -1,0 +1,316 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.  (Exact dedup lives in uniqueness.py.)
+
+Scale design:
+- Shingling/minhashing are per-row native array expressions — no shuffle, no
+  Python.
+- LSH banding turns the O(n²) pair problem into groupBy(band_hash): only rows
+  sharing a band bucket are joined.  At 10^12 docs, band buckets are the only
+  viable candidate generator.
+- Candidate verification (exact Jaccard on shingle sets) joins the (small)
+  candidate-pair set back to the shingle arrays.
+- Two hash families: ``xxhash64`` (fast JVM path, default) and ``md5``
+  (byte-identical in DuckDB → used by the oracle-checked queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- shingling ---------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of whitespace-normalized lowercase text.
+    Returns array<string> (empty array for short docs)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    words = F.split(normalized, " ")
+    count = F.size(words)
+    grams = F.when(count >= n, F.transform(
+        F.sequence(F.lit(1), count - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )).otherwise(F.array(normalized))
+    return F.array_distinct(grams)
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(normalized)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substr(normalized, i, F.lit(k)),
+    )
+    return F.array_distinct(grams)
+
+
+# -- MinHash -----------------------------------------------------------------
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, hash_fn: str = "xxhash64"
+) -> Column:
+    """k-permutation MinHash signature over a shingle array.
+
+    xxhash64: array<bigint> of min(xxhash64(seed_i, shingle)).
+    md5:      array<string> of lexicographic min(md5(i || shingle)) — slower
+              but byte-identical in DuckDB (oracle path).
+    """
+    # NB: seeds must be bound via closure factories — a default-arg lambda
+    # (lambda s, i=i: ...) would be treated by PySpark as a two-parameter
+    # (element, index) lambda and the seed silently replaced by the index.
+    def _xx(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    def _md5(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    if hash_fn == "xxhash64":
+        sig = [F.array_min(F.transform(shingles, _xx(i))) for i in range(num_hashes)]
+    elif hash_fn == "md5":
+        sig = [F.array_min(F.transform(shingles, _md5(i))) for i in range(num_hashes)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: rows sharing any band bucket.
+
+    bands × rows_per_band = num_hashes; with 8 bands of 4 the match threshold
+    is roughly J ≈ (1/8)^(1/4) ≈ 0.6.  Output: (id_a, id_b, est_jaccard) with
+    id_a < id_b, est_jaccard = fraction of equal minhash components.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_signature(word_shingles(F.col(text_col), n_gram), num_hashes, hash_fn)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+    band_entries = with_sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band", "_band.bucket")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """LSH candidates filtered by estimated Jaccard ≥ threshold."""
+    return minhash_lsh_candidates(df, id_col, text_col, **kwargs).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# -- exact n-gram Jaccard ------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing ≥1 shingle.
+
+    Candidate generation = explode(shingles) self-join on the shingle —
+    correct but O(Σ per-shingle pairs); at web scale use minhash_lsh first
+    and this only to verify candidates.  Output: (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n_gram).alias("_sh"),
+    )
+    exploded = sh.select("_id", F.explode("_sh").alias("_g"))
+    cand = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    jac = F.col("inter_size") / (
+        F.col("a_n") + F.col("b_n") - F.col("inter_size")
+    )
+    return (
+        cand.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("a_n")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("b_n")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+
+def simhash64(text: Column, n_gram: int = 2) -> Column:
+    """64-bit SimHash fingerprint: per-bit majority vote over shingle hashes.
+
+    Native bit arithmetic via aggregate over the shingle array: accumulator =
+    array of 64 vote counters packed as one pass of shiftright/bitand.
+    Implemented as a fold into an array<int> of votes, then sign → bits.
+    """
+    shingles = word_shingles(text, n_gram)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    def _vote_merge(i: int):
+        # closure factory, NOT a default arg (see minhash_signature note)
+        return lambda acc, h: acc + (
+            F.shiftright(h, i).bitwiseAND(F.lit(1).cast("bigint")).cast("int") * 2 - 1
+        )
+
+    fp = F.lit(0).cast("bigint")
+    for i in range(64):
+        # vote_i = Σ over shingles of (+1 if bit i set else −1)
+        vote = F.aggregate(hashes, F.lit(0), _vote_merge(i))
+        fp = fp.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dups: block on 16-bit prefixes (4 rotations) so only rows
+    agreeing on one block are compared — a pigeonhole guarantee for
+    max_hamming ≤ 3 over 4 blocks.  Output: (id_a, id_b, hamming)."""
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocked = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright("_fp", b * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_fp", "_b.blk", "_b.key")
+    pairs = (
+        blocked.alias("l")
+        .join(
+            blocked.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# -- embedding cosine near-dup ---------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH bucketing + exact
+    verification within buckets (see similarity.py for the primitives)."""
+    from .similarity import cosine, hyperplane_signature
+
+    sig = hyperplane_signature(F.col(vec_col), dim_hint(df, vec_col), num_planes, seed)
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    pairs = (
+        v.alias("l")
+        .join(
+            v.alias("r"),
+            (F.col("l._sig") == F.col("r._sig")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
+def dim_hint(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (metadata probe)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0

@@ -1,0 +1,96 @@
+"""Distribution-drift checks: PSI and KS (SURVEY.md §2.B).
+
+Both operate on SKETCHES (histograms / quantile arrays) aggregated
+distributively — the raw columns never leave the executors; only
+O(buckets)-sized summaries reach the driver.  That's the 100 TB shape:
+drift between a 50 TB baseline era and a 50 TB current era costs two
+histogram aggregations + a driver-side fold over ≤ a few dozen buckets.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .stats import approx_quantiles, numeric_histogram
+
+
+def _hist_to_probs(hist: DataFrame, nbuckets: int) -> list[float]:
+    rows = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    total = sum(rows.values()) or 1
+    # width_bucket buckets: 0 (underflow) .. nbuckets+1 (overflow)
+    return [rows.get(b, 0) / total for b in range(nbuckets + 2)]
+
+
+def psi_from_histograms(
+    expected: DataFrame, actual: DataFrame, nbuckets: int, eps: float = 1e-4
+) -> float:
+    """Population Stability Index: Σ (p−q)·ln(p/q) over buckets.
+    Rule of thumb: <0.1 stable, 0.1–0.25 moderate, >0.25 major shift."""
+    p = _hist_to_probs(expected, nbuckets)
+    q = _hist_to_probs(actual, nbuckets)
+    psi = 0.0
+    for pi, qi in zip(p, q):
+        pi, qi = max(pi, eps), max(qi, eps)
+        psi += (pi - qi) * math.log(pi / qi)
+    return psi
+
+
+def psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 20,
+) -> float:
+    return psi_from_histograms(
+        numeric_histogram(baseline, column, lo, hi, nbuckets),
+        numeric_histogram(current, column, lo, hi, nbuckets),
+        nbuckets,
+    )
+
+
+def ks_statistic(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    npoints: int = 100,
+    rel_err: float = 0.001,
+) -> float:
+    """Approximate two-sample Kolmogorov–Smirnov statistic from quantile
+    sketches: max |ECDF_p − ECDF_q| evaluated on the merged quantile grid.
+    Each side is one percentile_approx pass."""
+    probs = [i / npoints for i in range(npoints + 1)]
+    qa = approx_quantiles(baseline, column, probs, rel_err)
+    qb = approx_quantiles(current, column, probs, rel_err)
+
+    def ecdf(quantiles: Sequence[float], x: float) -> float:
+        # fraction of quantile grid points <= x ≈ CDF(x)
+        import bisect
+
+        return bisect.bisect_right(quantiles, x) / len(quantiles)
+
+    grid = sorted(set(qa) | set(qb))
+    return max(abs(ecdf(qa, x) - ecdf(qb, x)) for x in grid) if grid else 0.0
+
+
+def drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 20,
+    psi_threshold: float = 0.25,
+) -> dict:
+    value = psi(baseline, current, column, lo, hi, nbuckets)
+    return {
+        "column": column,
+        "psi": value,
+        "drifted": value > psi_threshold,
+        "threshold": psi_threshold,
+    }

@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All native Column expressions (whole-stage codegen; zero Python on the hot
+path) and deliberately built from cross-engine-deterministic primitives
+(regexp counts, md5) so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (public knowledge; enough for an n-gram
+# heuristic — NOT a real langid model)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+}
+
+_WORD_RE = r"[A-Za-z]+"
+# BPE-ish tokenization: word pieces OR digit runs OR single non-space symbols
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def language_scores(text: Column) -> list[tuple[str, Column]]:
+    """Stopword-hit rate per language, normalized by word count."""
+    wc = F.greatest(F.regexp_count(text, F.lit(_WORD_RE)), F.lit(1))
+    return [
+        (lang, (_stopword_hits(text, words) / wc))
+        for lang, words in STOPWORDS.items()
+    ]
+
+
+def language_id(text: Column, min_score: float = 0.05) -> Column:
+    """Argmax language by stopword-hit rate; 'und' (undetermined) when no
+    language clears ``min_score``.  Deterministic tie-break: score desc, then
+    language code asc (matches the SQL oracle's exact semantics)."""
+    scores = language_scores(text)
+    best = None
+    for lang, score in sorted(scores):  # asc lang order; strict > keeps earlier
+        if best is None:
+            best, best_lang = score, F.lit(lang)
+        else:
+            cond = score > best
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best = F.when(cond, score).otherwise(best)
+    return F.when(best >= min_score, best_lang).otherwise(F.lit("und"))
+
+
+def token_count_whitespace(text: Column) -> Column:
+    """Whitespace-delimited token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs + digit runs + symbols."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RE))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Raw quality signals (all native, all SQL-oracle-able)."""
+    n_chars = F.length(text)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    words = F.regexp_count(text, F.lit(_WORD_RE))
+    safe_words = F.greatest(words, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": words,
+        "mean_word_len": F.regexp_count(text, F.lit(r"[A-Za-z]")) / safe_words,
+        "punct_ratio": F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")) / safe_chars,
+        "upper_ratio": F.regexp_count(text, F.lit(r"[A-Z]")) / safe_chars,
+        "digit_ratio": F.regexp_count(text, F.lit(r"[0-9]")) / safe_chars,
+        "stopword_ratio": _stopword_hits(text, STOPWORDS["en"]) / safe_words,
+        "space_ratio": F.regexp_count(text, F.lit(r"\s")) / safe_chars,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: long-enough, word-like, sane punctuation,
+    some stopwords.  A Gopher-rules-flavoured linear blend."""
+    f = quality_features(text)
+    length_ok = F.least(f["n_words"] / F.lit(50.0), F.lit(1.0))
+    word_shape = F.when(
+        (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.least(f["stopword_ratio"] / F.lit(0.06), F.lit(1.0))
+    return F.round(
+        0.4 * length_ok + 0.2 * word_shape + 0.2 * punct_ok + 0.2 * stop_ok, 4
+    )
+
+
+def fingerprint_exact(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    Identical in DuckDB: md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def fingerprint_winnow(text: Column, k: int = 16) -> Column:
+    """Winnowing-style robust fingerprint: minimum md5 over the document's
+    character k-grams (min-hash of the k-gram set).  Local edits leave most
+    k-grams intact, so near-identical docs usually share the fingerprint.
+    Built from sequence/transform/array_min — fully native + SQL-expressible.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(normalized)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substr(normalized, i, F.lit(k))),
+    )
+    return F.array_min(grams)
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-quality columns appended in one projection."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        "*",
+        language_id(t).alias("lang_pred"),
+        token_count_whitespace(t).alias("tokens_ws"),
+        token_count_bpe_ish(t).alias("tokens_bpe"),
+        quality_score(t).alias("quality"),
+        fingerprint_exact(t).alias("fingerprint"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+    )

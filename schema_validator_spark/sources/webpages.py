@@ -1,0 +1,135 @@
+"""Synthetic Common-Crawl-style ``web_pages`` source.
+
+Shape fixed by BASELINE.json ``input_hint``:
+``web_pages(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Two constructors:
+
+- ``generate_web_pages(spark, n_rows)`` — fully distributed, closed-form from
+  ``spark.range`` (no driver data, no RNG state → identical at any scale and
+  any partitioning; scales to 10^12 ids).  Planted features per FIXTURES.md:
+  pattern-failing urls, urls needing trim+lowercase, duplicate urls, a
+  heavy-tail host owning ~20% of rows (skew), NULL text/lang, out-of-dimension
+  langs, and two "eras" with shifted text-length distribution (drift).
+- ``lang_dim(spark)`` — the 10-row referential dimension.
+
+In production this table is an Iceberg table; ``read_web_pages`` falls back
+to parquet when no Iceberg catalog is configured (dev/sandbox).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["en", "de", "fr", "es", "zh", "ja", "ru", "pt", "it", "nl"]
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog web page crawl data spark "
+    "validate schema text token index fetch parse render link anchor title"
+).split()
+
+
+def generate_web_pages(
+    spark: SparkSession, n_rows: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic synthetic web_pages, closed-form per id."""
+    df = spark.range(0, n_rows, numPartitions=num_partitions)
+    i = F.col("id")
+    h = F.abs(F.xxhash64(i))  # deterministic per-id entropy
+
+    # host: one heavy host owns ~20% of rows (skew target), the rest zipf-ish
+    host = (
+        F.when(F.pmod(i, 5) == 0, F.lit("bighost.example.com"))
+        .otherwise(F.concat(F.lit("host-"), F.pmod(h, 997).cast("string"), F.lit(".example.org")))
+    )
+    path = F.concat(F.lit("/page/"), F.pmod(h, 100000).cast("string"))
+    clean_url = F.concat(F.lit("https://"), host, path)
+
+    # planted anomalies (deterministic slots)
+    url = (
+        F.when(F.pmod(i, 101) == 7, F.lit("not-a-url"))  # pattern violation ~1%
+        .when(  # needs trim + lowercase ~2%
+            F.pmod(i, 53) == 3,
+            F.concat(F.lit("  HTTPS://"), F.upper(host), path, F.lit(" ")),
+        )
+        .when(F.pmod(i, 211) == 5, F.concat(F.lit("https://"), host, F.lit("/page/"), F.pmod(F.abs(F.xxhash64(i - 1)), 100000).cast("string")))  # duplicate of neighbour's url ~0.5%
+        .otherwise(clean_url)
+    )
+
+    # two eras with shifted text-length distribution (drift target):
+    # era 0 (first half): 20-60 words; era 1: 40-120 words
+    era = (i >= n_rows // 2).cast("int")
+    n_words = (
+        F.lit(20) + F.pmod(h, 41) + era * (F.lit(20) + F.pmod(h, 60))
+    )
+    word_idx = F.sequence(F.lit(0), n_words - 1)
+    text_body = F.concat_ws(
+        " ",
+        F.transform(
+            word_idx,
+            lambda j: F.element_at(
+                F.array(*[F.lit(w) for w in _VOCAB]),
+                (F.pmod(F.abs(F.xxhash64(i, j)), len(_VOCAB)) + 1).cast("int"),
+            ),
+        ),
+    )
+    text = F.when(F.pmod(i, 97) == 11, F.lit(None).cast("string")).otherwise(text_body)
+
+    lang = (
+        F.when(F.pmod(i, 89) == 13, F.lit(None).cast("string"))  # nulls
+        .when(F.pmod(i, 79) == 17, F.lit("xx"))  # out-of-dimension junk
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(lang) for lang in LANGS]),
+                (F.pmod(h, 5) + 1).cast("int"),  # top-5 langs dominate
+            )
+        )
+    )
+
+    warc_ts = F.timestamp_seconds(F.lit(1700000000) + i * 7)
+    html = F.encode(
+        F.concat(F.lit("<html><body>"), F.coalesce(text, F.lit("")), F.lit("</body></html>")),
+        "UTF-8",
+    )
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+def lang_dim(spark: SparkSession) -> DataFrame:
+    names = {
+        "en": "English", "de": "German", "fr": "French", "es": "Spanish",
+        "zh": "Chinese", "ja": "Japanese", "ru": "Russian", "pt": "Portuguese",
+        "it": "Italian", "nl": "Dutch",
+    }
+    return spark.createDataFrame(
+        [(k, v) for k, v in names.items()], "lang_code string, lang_name string"
+    )
+
+
+def read_web_pages(spark: SparkSession, location: str) -> DataFrame:
+    """Iceberg table if the identifier resolves in a configured catalog,
+    else parquet path (sandbox)."""
+    try:
+        return spark.read.format("iceberg").load(location)
+    except Exception:
+        return spark.read.parquet(location)
+
+
+def web_page_schema():
+    """The flagship constraint schema for web_pages (SURVEY.md §7 M0):
+    url trim+lowercase+URL-pattern, text min_length, lang 2-letter code,
+    warc_ts required."""
+    from ..schema import schema
+
+    s = schema()
+    return (
+        s.object()
+        .field("url", s.string().trim().to_lowercase().url())
+        .field("text", s.string().min_length(20).optional())
+        .field("lang", s.string().pattern(r"^[a-z]{2}$").optional())
+    )

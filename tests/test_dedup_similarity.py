@@ -1,0 +1,206 @@
+"""Near-dup + similarity-search tests with planted ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.operators import dedup, similarity, textquality
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("lazy", "sleepy", 1)),      # near dup of 1
+        (4, "completely different words about spark shuffles and joins " * 5),
+        (5, "another unrelated document concerning parquet file layouts " * 5),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            near_dup_docs, "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_md5_matches_xxhash_pairs(spark, near_dup_docs):
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            near_dup_docs, "doc_id", threshold=0.5, hash_fn="md5",
+            num_hashes=16, bands=4,
+        ).collect()
+    }
+    assert (1, 2) in md5_pairs
+
+
+def test_ngram_jaccard_exact(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+
+
+def test_simhash(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(
+            near_dup_docs, "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0          # identical docs → identical fingerprint
+    assert (1, 3) in pairs             # near dup → small hamming
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(8).astype("float32")  # near dup of 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def _numpy_topk(vecs, qidx, k):
+    q = vecs[qidx].astype("float64")
+    sims = vecs.astype("float64") @ q
+    sims /= np.linalg.norm(vecs.astype("float64"), axis=1) * np.linalg.norm(q)
+    order = sorted(range(len(vecs)), key=lambda i: (-round(sims[i], 6), i))
+    return order[:k], sims
+
+
+def test_cosine_topk_exact_vs_numpy(spark, vectors):
+    df, vecs = vectors
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        r["neighbor_id"]
+        for r in similarity.cosine_topk(df, q, k=5).orderBy("rank").collect()
+    ]
+    want, _ = _numpy_topk(vecs, 0, 5)
+    assert got == want
+    assert got[0] == 0 and got[1] == 1  # self first, planted near-dup second
+
+
+def test_lsh_topk_recall(spark, vectors):
+    df, vecs = vectors
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        r["neighbor_id"]
+        for r in similarity.lsh_topk(df, q, k=5, num_planes=6).orderBy("rank").collect()
+    ]
+    # bucketing keeps the self-match and the planted near-dup together
+    assert got[0] == 0 and 1 in got
+
+
+def test_ivf_topk(spark, vectors):
+    df, vecs = vectors
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        r["neighbor_id"]
+        for r in similarity.ivf_topk(df, q, k=5, n_centroids=5, nprobe=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got[0] == 0 and 1 in got
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    df, _ = vectors
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(
+            df, "vec_id", threshold=0.99
+        ).collect()
+    }
+    assert (0, 1) in pairs
+
+
+# -- text quality -------------------------------------------------------------
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog was in the house"),
+        (2, "der Hund ist nicht mit der Katze und das ist ein Haus"),
+        (3, "le chat est dans la maison et les chiens ne sont pas la"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["lang"]
+        for r in df.select(
+            "id", textquality.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, it's 42 degrees!"), (2, ""), (3, "   ")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            textquality.token_count_whitespace(F.col("text")).alias("ws"),
+            textquality.token_count_bpe_ish(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert rows[1]["ws"] == 5
+    # hello|world|,|it|'|s|42|degrees|! → 9
+    assert rows[1]["bpe"] == 9
+    assert rows[2]["ws"] == 0 and rows[3]["ws"] == 0
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different entirely")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            textquality.fingerprint_exact(F.col("text")).alias("fp"),
+            textquality.fingerprint_winnow(F.col("text"), k=4).alias("wfp"),
+        ).collect()
+    }
+    # case/whitespace-normalized equality
+    assert rows[1]["fp"] == rows[2]["fp"] != rows[3]["fp"]
+    assert rows[1]["wfp"] == rows[2]["wfp"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mm = docs.select(
+        textquality.quality_score(F.col("text")).alias("q")
+    ).agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= mm[0] <= mm[1] <= 1.0

@@ -1,0 +1,100 @@
+"""Table-level operator tests: stats, uniqueness, referential, drift —
+hand-computed expected values on planted data (SURVEY.md §5 test plan #2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark.operators import drift, referential, stats, uniqueness
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        # (id, url, score, lang)
+        (1, "https://a.com/1", 10.0, "en"),
+        (2, "https://a.com/2", 20.0, "de"),
+        (3, "https://a.com/2", 30.0, "fr"),   # dup url
+        (4, "https://a.com/3", None, "xx"),   # null score, orphan lang
+        (5, "https://a.com/4", 40.0, None),   # null lang
+        (6, "https://a.com/2", 50.0, "en"),   # dup url again
+    ]
+    return spark.createDataFrame(rows, "id long, url string, score double, lang string")
+
+
+def test_profile(spark, planted):
+    row = stats.profile(planted, ["score", "lang"], exact_distinct=True).collect()[0]
+    assert row["row_count"] == 6
+    assert row["score_nulls"] == 1
+    assert abs(row["score_null_rate"] - 1 / 6) < 1e-9
+    assert row["score_min"] == 10.0 and row["score_max"] == 50.0
+    assert row["score_distinct"] == 5
+    assert row["lang_distinct"] == 4  # en, de, fr, xx
+    assert row["score_mean"] == 30.0
+
+
+def test_profile_grouped(spark, planted):
+    out = stats.profile(planted, ["score"], group_by=["lang"]).collect()
+    by_lang = {r["lang"]: r for r in out}
+    assert by_lang["en"]["row_count"] == 2
+    assert by_lang["en"]["score_min"] == 10.0
+
+
+def test_histogram(spark, planted):
+    hist = {
+        r["bucket"]: r["cnt"]
+        for r in stats.numeric_histogram(planted, "score", 0, 50, 5).collect()
+    }
+    # buckets: 10→2, 20→3, 30→4, 40→5, 50→overflow edge (50 == hi → bucket 6)
+    assert hist == {2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_duplicate_keys(spark, planted):
+    dups = uniqueness.duplicate_keys(planted, ["url"]).collect()
+    assert len(dups) == 1
+    assert dups[0]["url"] == "https://a.com/2" and dups[0]["dup_count"] == 3
+    salted = uniqueness.duplicate_counts_salted(planted, ["url"], 4).collect()
+    assert len(salted) == 1 and salted[0]["dup_count"] == 3
+
+
+def test_dedup_exact_both_strategies(spark, planted):
+    for strategy in ("window", "agg"):
+        kept = uniqueness.dedup_exact(
+            planted, ["url"], order_by=[F.col("id")], strategy=strategy
+        )
+        assert kept.count() == 4
+        keeper = kept.where(F.col("url") == "https://a.com/2").collect()
+        assert len(keeper) == 1 and keeper[0]["id"] == 2  # earliest id wins
+
+
+def test_duplicate_violations(spark, planted):
+    v = uniqueness.duplicate_violations(planted, ["url"]).collect()[0]
+    assert v["code"] == "DUPLICATE_KEY"
+    assert "appears 3 times" in v["message"]
+
+
+def test_referential_orphans(spark, planted):
+    dim = spark.createDataFrame(
+        [("en",), ("de",), ("fr",)], "lang_code string"
+    )
+    for strategy in ("broadcast", "shuffle_hash", "auto"):
+        o = referential.orphans(planted, dim, ["lang"], ["lang_code"], strategy)
+        got = [r["id"] for r in o.collect()]
+        assert got == [4], f"{strategy}: {got}"  # NULL lang (id 5) is NOT an orphan
+    v = referential.referential_violations(planted, dim, ["lang"], ["lang_code"])
+    row = v.collect()[0]
+    assert row["code"] == "REFERENTIAL_ERROR" and "'xx'" in row["message"]
+
+
+def test_drift_psi_and_ks(spark):
+    # era A: uniform 0..99; era B: shifted 50..149 — must flag drift;
+    # era A vs era A must not.
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(1000).select((F.col("id") % 100 + 50).cast("double").alias("v"))
+    assert drift.psi(a, a, "v", 0, 150, 15) < 0.01
+    assert drift.psi(a, b, "v", 0, 150, 15) > 0.25
+    assert drift.ks_statistic(a, a, "v") < 0.05
+    assert drift.ks_statistic(a, b, "v") > 0.3
+    rep = drift.drift_report(a, b, "v", 0, 150, 15)
+    assert rep["drifted"] is True
