@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship constraint-validation plan on the sf0.001
+``documents`` table.  ``queries()`` exposes one entry per implemented operator
+from SURVEY.md §2 (reference combinators + engine-level table operators +
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one.  Column names/aliases match exactly between the two
+sides (the driver hashes values after sorting columns by name).
+
+Determinism notes (why these oracles are byte-safe):
+- All hashing used in oracle-checked queries is md5 (identical in DuckDB);
+  xxhash64-based variants are exposed as rows-only queries.
+- Doubles are either exact (counts/ratios of integers, k/32 fractions) or
+  rounded on BOTH sides after arithmetic performed in the same order.
+- Random hyperplanes are seeded numpy constants inlined as literals into both
+  the Spark plan and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +21,1018 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import schema_validator_spark as sv
+from schema_validator_spark.operators import dedup as D
+from schema_validator_spark.operators import drift as DR
+from schema_validator_spark.operators import multimodal as MM
+from schema_validator_spark.operators import referential as R
+from schema_validator_spark.operators import similarity as SIM
+from schema_validator_spark.operators import stats as ST
+from schema_validator_spark.operators import textquality as TQ
+from schema_validator_spark.operators import uniqueness as U
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _flagship_plan() -> sv.ValidationPlan:
+    """Flagship web-page-style object schema over the documents table:
+    required min-length text, 2-letter lang code, username-shaped source."""
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("text", s.string().min_length(100))
+        .field("lang", s.string().pattern(r"^[a-z]{2}$"))
+        .field("source", s.string().username())
+    )
+    return sv.ValidationPlan(obj)
+
+
+def _flagship_result(df: DataFrame) -> DataFrame:
+    v = _flagship_plan().apply(df)
+    detail = F.concat_ws(
+        "; ",
+        F.transform(
+            F.col("violations"),
+            lambda x: F.concat_ws("|", x["field"], x["code"], x["message"]),
+        ),
+    )
+    return v.select(
+        "doc_id",
+        "valid",
+        F.size("violations").cast("bigint").alias("n_violations"),
+        detail.alias("detail"),
+    )
+
+
+_FLAGSHIP_VIOL_SQL = """
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN 'text|MISSING_FIELD|Missing required field: ''text'''
+         WHEN strlen(text) < 100 THEN 'text|MIN_LENGTH_ERROR|Length error: expected at least 100 characters, got ' || strlen(text)
+         ELSE NULL END AS v1,
+    CASE WHEN lang IS NULL THEN 'lang|MISSING_FIELD|Missing required field: ''lang'''
+         WHEN NOT regexp_matches(lang, '^[a-z]{2}$') THEN 'lang|PATTERN_ERROR|Pattern error: ''' || lang || ''' does not match pattern ''^[a-z]{2}$'''
+         ELSE NULL END AS v2,
+    CASE WHEN source IS NULL THEN 'source|MISSING_FIELD|Missing required field: ''source'''
+         WHEN NOT regexp_matches(source, '^[a-zA-Z0-9_-]{3,16}$') THEN 'source|INVALID_USERNAME|Invalid username format (3-16 chars, alphanumeric with underscore and dash)'
+         ELSE NULL END AS v3
+  FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship_result(_t(spark, DEFAULT_SF_DIR, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# row-level constraint queries (reference-combinator parity, SURVEY.md §2.A)
+# ---------------------------------------------------------------------------
+
+def q_validate_flagship(spark, sf_dir):
+    return _flagship_result(_t(spark, sf_dir, "documents"))
+
+
+def q_transform_chain(spark, sf_dir):
+    """Transformed-chain quirk: trim+lowercase then PATTERN ONLY (min_length
+    silently dropped, string.rs:251-283) + a fused custom (reverse) pandas-UDF
+    chain on a second field."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("  "), F.upper("source"), F.lit(" ")).alias("cleaned"),
+        F.concat(F.lit("  "), F.upper("source"), F.lit(" ")).alias("rev"),
+    )
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field(
+            "cleaned",
+            s.string().trim().to_lowercase().pattern(r"^src[0-9]+$").min_length(999),
+        )
+        .field(
+            "rev",
+            s.string().trim().transform(lambda v: v[::-1]).to_lowercase(),
+        )
+    )
+    return sv.ValidationPlan(obj).apply(df).select("doc_id", "cleaned", "rev", "valid")
+
+
+def q_coerce_number(spark, sf_dir):
+    """coerce().number() from strings (Rust parse semantics incl. inf) plus a
+    post-validation f64 transform pipeline (pandas UDF)."""
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("n_chars").cast("string"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("abc"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("inf"))
+        .otherwise(F.concat(F.lit("-"), F.col("n_chars").cast("string"), F.lit(".5")))
+    )
+    df = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("num"), raw.alias("tnum"))
+    s = sv.schema().coerce()
+    obj = (
+        s.object()
+        .field("num", s.number())
+        .field("tnum", s.number().transform(lambda x: x * 2.0 + 1.0))
+    )
+    v = sv.ValidationPlan(obj).apply(df)
+    code = F.filter(F.col("violations"), lambda x: x["field"] == "num")
+    return v.select(
+        "doc_id",
+        F.col("num").alias("value"),
+        F.col("tnum").alias("tvalue"),
+        F.try_element_at(code, F.lit(1))["code"].alias("code"),
+    )
+
+
+def q_coerce_string_bool(spark, sf_dir):
+    """coerce().string() from int/double (Rust {:.0} formatting) and
+    coerce().boolean() JS-truthiness from string/int incl. Option→false."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("n_str"),
+        (F.col("n_chars").cast("double") + 0.25).alias("d_str"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("flag_text"),
+        F.col("n_chars").alias("flag_num"),
+    )
+    s = sv.schema().coerce()
+    obj = (
+        s.object()
+        .field("n_str", s.string())
+        .field("d_str", s.string())
+        .field("flag_text", s.boolean())
+        .field("flag_num", s.boolean())
+    )
+    return (
+        sv.ValidationPlan(obj)
+        .apply(df)
+        .select("doc_id", "n_str", "d_str", "flag_text", "flag_num", "valid")
+    )
+
+
+def q_literal_lang(spark, sf_dir):
+    """literal('en') with Rust Debug-formatted default messages."""
+    df = _t(spark, sf_dir, "documents")
+    s = sv.schema()
+    v = sv.validate_column(df, "lang", s.literal("en"))
+    return v.select(
+        "doc_id",
+        F.col("lang_violation").isNull().alias("valid"),
+        F.col("lang_violation")["code"].alias("code"),
+        F.col("lang_violation")["message"].alias("message"),
+    )
+
+
+def q_builtin_patterns(spark, sf_dir):
+    """email/date/uuid/ipv4/phone built-ins with planted invalids; violation
+    codes + the email's exact builtin message."""
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+    uu = F.concat(
+        F.substring(h, 1, 8), F.lit("-"), F.substring(h, 9, 4), F.lit("-4"),
+        F.substring(h, 14, 3), F.lit("-a"), F.substring(h, 18, 3), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 10 == 0, F.lit("bad@@x"))
+        .otherwise(F.concat(F.lit("user"), d.cast("string"), F.lit("@example.com")))
+        .alias("em"),
+        F.when(d % 7 == 0, F.lit("2024-13-40"))
+        .otherwise(F.concat(F.lit("2024-0"), (d % 9 + 1).cast("string"), F.lit("-15")))
+        .alias("dt"),
+        F.when(d % 5 == 0, F.lit("not-a-uuid")).otherwise(uu).alias("uu"),
+        F.when(d % 6 == 0, F.lit("999.1.2.3"))
+        .otherwise(F.concat((d % 256).cast("string"), F.lit(".0.1.2")))
+        .alias("ip"),
+        F.when(d % 4 == 0, F.lit("+0123"))
+        .otherwise(F.concat(F.lit("+1415"), (d + 1000000).cast("string")))
+        .alias("ph"),
+    )
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("em", s.string().email())
+        .field("dt", s.string().date())
+        .field("uu", s.string().uuid())
+        .field("ip", s.string().ipv4())
+        .field("ph", s.string().phone())
+    )
+    v = sv.ValidationPlan(obj).apply(df)
+
+    def _code(fieldname):
+        m = F.filter(F.col("violations"), lambda x: x["field"] == fieldname)
+        return F.try_element_at(m, F.lit(1))["code"]
+
+    def _msg(fieldname):
+        m = F.filter(F.col("violations"), lambda x: x["field"] == fieldname)
+        return F.try_element_at(m, F.lit(1))["message"]
+
+    return v.select(
+        "doc_id",
+        _code("em").alias("em_code"),
+        _msg("em").alias("em_msg"),
+        _code("dt").alias("dt_code"),
+        _code("uu").alias("uu_code"),
+        _code("ip").alias("ip_code"),
+        _code("ph").alias("ph_code"),
+        "valid",
+    )
+
+
+def q_optional_vs_missing(spark, sf_dir):
+    """optional(): NULL passes with NULL output; same NULL in a required field
+    is MISSING_FIELD (optional.rs:65-98 vs object.rs:297-305)."""
+    lang_n = F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.col("lang")
+    )
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_n.alias("opt"), lang_n.alias("req")
+    )
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("opt", s.string().pattern(r"^[a-z]{2}$").optional())
+        .field("req", s.string().pattern(r"^[a-z]{2}$"))
+    )
+    v = sv.ValidationPlan(obj).apply(df)
+    req_v = F.try_element_at(
+        F.filter(F.col("violations"), lambda x: x["field"] == "req"), F.lit(1)
+    )
+    return v.select(
+        "doc_id",
+        F.col("opt").alias("opt_value"),
+        req_v["code"].alias("req_code"),
+        req_v["message"].alias("req_msg"),
+        "valid",
+    )
+
+
+def q_object_error(spark, sf_dir):
+    """Row-level OBJECT_ERROR rendering (error.rs:113-117)."""
+    plan = _flagship_plan()
+    v = plan.apply(_t(spark, sf_dir, "documents"))
+    obj_err = plan.object_error()
+    return v.select(
+        "doc_id",
+        obj_err["code"].alias("obj_code"),
+        obj_err["message"].alias("obj_msg"),
+    )
+
+
+def q_verdicts_by_lang(spark, sf_dir):
+    """Per-partition pass/fail verdicts (grouped by lang)."""
+    plan = _flagship_plan()
+    v = plan.apply(_t(spark, sf_dir, "documents"))
+    return plan.verdicts(v, partition_cols=["lang"]).select(
+        "lang",
+        "total_rows",
+        "passed_rows",
+        "failed_rows",
+        F.col("pass").alias("all_passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# table-level engine operators (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+def q_profile_documents(spark, sf_dir):
+    p = ST.profile(
+        _t(spark, sf_dir, "documents"),
+        columns=["n_chars", "text"],
+        group_by=["lang"],
+        exact_distinct=True,
+    )
+    return p.select(
+        "lang",
+        "row_count",
+        "n_chars_count",
+        "n_chars_nulls",
+        F.round("n_chars_null_rate", 6).alias("n_chars_null_rate"),
+        "n_chars_min",
+        "n_chars_max",
+        "n_chars_distinct",
+        F.round("n_chars_mean", 6).alias("n_chars_mean"),
+        "text_count",
+        "text_nulls",
+        "text_distinct",
+    )
+
+
+def q_profile_events(spark, sf_dir):
+    p = ST.profile(
+        _t(spark, sf_dir, "events"),
+        columns=["value", "user_id"],
+        group_by=["event_type"],
+        exact_distinct=True,
+    )
+    return p.select(
+        "event_type",
+        "row_count",
+        "value_count",
+        "value_nulls",
+        "value_min",
+        "value_max",
+        "value_distinct",
+        "user_id_min",
+        "user_id_max",
+        "user_id_distinct",
+    )
+
+
+def q_histogram_nchars(spark, sf_dir):
+    return ST.numeric_histogram(
+        _t(spark, sf_dir, "documents"), "n_chars", 0.0, 640.0, 16
+    )
+
+
+def q_duplicate_keys_lang(spark, sf_dir):
+    return U.duplicate_keys(_t(spark, sf_dir, "documents"), ["lang"])
+
+
+def q_duplicate_keys_salted(spark, sf_dir):
+    return U.duplicate_counts_salted(
+        _t(spark, sf_dir, "documents"), ["lang"], salt_buckets=16
+    )
+
+
+def q_dedup_agg(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return U.dedup_exact(
+        df, ["lang"], order_by=[F.col("n_chars"), F.col("doc_id")], strategy="agg"
+    ).select("lang", "doc_id", "source", "n_chars")
+
+
+def q_dedup_window(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return U.dedup_exact(
+        df, ["source"], order_by=[F.col("n_chars"), F.col("doc_id")], strategy="window"
+    ).select("source", "doc_id", "lang", "n_chars")
+
+
+def q_orphans_events(spark, sf_dir):
+    fact = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return R.orphans(fact, dim, ["user_id"], ["c_custkey"], strategy="broadcast").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    """Exact near-dup via normalized-content fingerprint: the planted copy is
+    uppercased + padded, so matching proves the normalization pipeline."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    u = base.unionAll(copy)
+    fp = u.select(TQ.fingerprint_exact(F.col("text")).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def q_psi_drift(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    baseline = docs.where(F.col("doc_id") < 250)
+    current = docs.where(F.col("doc_id") >= 250)
+    value = DR.psi(baseline, current, "n_chars", 0.0, 640.0, 16)
+    return spark.createDataFrame(
+        [("n_chars", round(value, 4), value > 0.25)],
+        "col_name string, psi double, drifted boolean",
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    value = DR.ks_statistic(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        "n_chars",
+        npoints=50,
+    )
+    return spark.createDataFrame(
+        [("n_chars", round(value, 4))], "col_name string, ks double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def _planted_text_union(spark, sf_dir):
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    copy = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return base.unionAll(copy)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    return D.minhash_near_duplicates(
+        _planted_text_union(spark, sf_dir),
+        "doc_id",
+        threshold=0.5,
+        num_hashes=32,
+        bands=8,
+        hash_fn="md5",
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _planted_text_union(spark, sf_dir), "doc_id", n_gram=3, threshold=0.8
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return D.simhash_near_duplicates(
+        _planted_text_union(spark, sf_dir), "doc_id", max_hamming=3
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        corpus_id="vec_id",
+        query_id="vec_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    u = emb.select("vec_id", "embedding").unionAll(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return D.embedding_near_duplicates(u, "vec_id", threshold=0.99)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        corpus_id="vec_id",
+        query_id="vec_id",
+        num_planes=8,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        corpus_id="vec_id",
+        query_id="vec_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_text_metrics(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = TQ.text_metrics(df)
+    return m.select(
+        "doc_id",
+        F.col("tokens_ws").cast("bigint").alias("tokens_ws"),
+        F.col("tokens_bpe").cast("bigint").alias("tokens_bpe"),
+        "quality",
+        "fingerprint",
+        "punct_ratio",
+        "stopword_ratio",
+        "lang_pred",
+    )
+
+
+def q_language_counts(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        df.select(TQ.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return df.select(
+        "doc_id", TQ.fingerprint_winnow(F.col("text"), k=16).alias("winnow")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table_from_text(docs, "doc_id")
+    return MM.extract_features(media, fake=True)
+
+
+def q_frame_samples(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table_from_text(docs, "doc_id")
+    out = MM.sample_frames(media, every_n_bytes=64, fake=True)
+    return out.select(
+        "media_id", F.col("frame_no").cast("bigint").alias("frame_no"), "frame_hash"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # row-level combinator parity
+        "validate_flagship": q_validate_flagship,
+        "transform_chain": q_transform_chain,
+        "coerce_number": q_coerce_number,
+        "coerce_string_bool": q_coerce_string_bool,
+        "literal_lang": q_literal_lang,
+        "builtin_patterns": q_builtin_patterns,
+        "optional_vs_missing": q_optional_vs_missing,
+        "object_error": q_object_error,
+        "verdicts_by_lang": q_verdicts_by_lang,
+        # table-level engine operators
+        "profile_documents": q_profile_documents,
+        "profile_events": q_profile_events,
+        "histogram_nchars": q_histogram_nchars,
+        "duplicate_keys_lang": q_duplicate_keys_lang,
+        "duplicate_keys_salted": q_duplicate_keys_salted,
+        "dedup_agg": q_dedup_agg,
+        "dedup_window": q_dedup_window,
+        "orphans_events": q_orphans_events,
+        "fingerprint_dups": q_fingerprint_dups,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        # training-data operators
+        "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "text_metrics": q_text_metrics,
+        "language_counts": q_language_counts,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "frame_samples": q_frame_samples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLE_CTE = f"""
+base AS (
+  SELECT doc_id AS _id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zz9' FROM documents WHERE text IS NOT NULL
+),
+norm AS (SELECT _id, {_NORM_TEXT} AS t FROM base),
+words AS (SELECT _id, t, string_split(t, ' ') AS ws FROM norm),
+sh AS (
+  SELECT _id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)])
+      ELSE [t] END AS sh
+  FROM words
+)
+"""
+
+
+def _stopword_sql(col: str, lang: str) -> str:
+    words = "|".join(TQ.STOPWORDS[lang])
+    return f"len(regexp_extract_all(lower({col}), '\\b({words})\\b'))"
+
+
+def _lang_pred_sql() -> str:
+    """Mirror textquality.language_id: scores per lang, argmax with
+    alphabetical-earliest tie-break, 'und' below min_score 0.05."""
+    score_defs = ", ".join(
+        f"{_stopword_sql('text', lang)} / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1)::DOUBLE AS s_{lang}"
+        for lang in sorted(TQ.STOPWORDS)
+    )
+    langs = sorted(TQ.STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} < 0.05 THEN 'und' "
+    for lang in langs[:-1]:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return score_defs, case
+
+
+def _hyperplane_sql_arrays(dim: int, num_planes: int, seed: int) -> list[str]:
+    planes = SIM._hyperplanes(dim, num_planes, seed)
+    return ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+
+def _srp_sig_sql(vec: str, dim: int, num_planes: int, seed: int) -> str:
+    arrays = _hyperplane_sql_arrays(dim, num_planes, seed)
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {arr}) >= 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i, arr in enumerate(arrays)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s_defs, lang_case = _lang_pred_sql()
+    em_msg = (
+        "Invalid email format"  # builtin ErrorConfig message (patterns.py)
+    )
+    srp12 = _srp_sig_sql("v", 64, 12, 42)
+    return {
+        "validate_flagship": f"""
+WITH v AS ({_FLAGSHIP_VIOL_SQL})
+SELECT doc_id,
+  (v1 IS NULL AND v2 IS NULL AND v3 IS NULL) AS valid,
+  ((v1 IS NOT NULL)::BIGINT + (v2 IS NOT NULL)::BIGINT + (v3 IS NOT NULL)::BIGINT) AS n_violations,
+  concat_ws('; ', v1, v2, v3) AS detail
+FROM v
+""",
+        "transform_chain": """
+WITH d AS (
+  SELECT doc_id, '  ' || upper(source) || ' ' AS raw FROM documents
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(lower(trim(raw)), '^src[0-9]+$') THEN lower(trim(raw)) ELSE NULL END AS cleaned,
+  lower(reverse(trim(raw))) AS rev,
+  (raw IS NOT NULL AND regexp_matches(lower(trim(raw)), '^src[0-9]+$')) AS valid
+FROM d
+""",
+        "coerce_number": """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN CAST(n_chars AS VARCHAR)
+         WHEN doc_id % 4 = 1 THEN 'abc'
+         WHEN doc_id % 4 = 2 THEN 'inf'
+         ELSE '-' || CAST(n_chars AS VARCHAR) || '.5' END AS raw
+  FROM documents
+), p AS (
+  SELECT doc_id, raw,
+    CASE WHEN doc_id % 4 = 1 THEN NULL ELSE CAST(raw AS DOUBLE) END AS parsed
+  FROM d
+)
+SELECT doc_id,
+  parsed AS value,
+  parsed * 2.0 + 1.0 AS tvalue,
+  CASE WHEN parsed IS NULL THEN 'COERCION_ERROR' ELSE NULL END AS code
+FROM p
+""",
+        "coerce_string_bool": """
+SELECT doc_id,
+  CAST(n_chars AS VARCHAR) AS n_str,
+  printf('%.0f', n_chars + 0.25) AS d_str,
+  (CASE WHEN doc_id % 5 = 0 THEN FALSE ELSE strlen(text) > 0 END) AS flag_text,
+  (n_chars <> 0) AS flag_num,
+  TRUE AS valid
+FROM documents
+""",
+        "literal_lang": """
+SELECT doc_id,
+  CASE WHEN lang IS NULL THEN FALSE ELSE lang = 'en' END AS valid,
+  CASE WHEN lang IS NULL THEN 'MISSING_FIELD'
+       WHEN lang <> 'en' THEN 'LITERAL_ERROR' ELSE NULL END AS code,
+  CASE WHEN lang IS NULL THEN 'Missing required field: ''lang'''
+       WHEN lang <> 'en' THEN 'Literal error: expected "en", got "' || lang || '"'
+       ELSE NULL END AS message
+FROM documents
+""",
+        "builtin_patterns": f"""
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), vals AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0 THEN 'bad@@x' ELSE 'user' || doc_id || '@example.com' END AS em,
+    CASE WHEN doc_id % 7 = 0 THEN '2024-13-40' ELSE '2024-0' || (doc_id % 9 + 1) || '-15' END AS dt,
+    CASE WHEN doc_id % 5 = 0 THEN 'not-a-uuid'
+         ELSE substr(h,1,8) || '-' || substr(h,9,4) || '-4' || substr(h,14,3) || '-a' || substr(h,18,3) || '-' || substr(h,21,12) END AS uu,
+    CASE WHEN doc_id % 6 = 0 THEN '999.1.2.3' ELSE (doc_id % 256) || '.0.1.2' END AS ip,
+    CASE WHEN doc_id % 4 = 0 THEN '+0123' ELSE '+1415' || (doc_id + 1000000) END AS ph
+  FROM d
+), checks AS (
+  SELECT doc_id,
+    regexp_matches(em, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}$') AS em_ok,
+    regexp_matches(dt, '^\\d{{4}}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])$') AS dt_ok,
+    regexp_matches(uu, '^[0-9a-f]{{8}}-[0-9a-f]{{4}}-4[0-9a-f]{{3}}-[89ab][0-9a-f]{{3}}-[0-9a-f]{{12}}$') AS uu_ok,
+    regexp_matches(ip, '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$') AS ip_ok,
+    regexp_matches(ph, '^\\+?[1-9]\\d{{1,14}}$') AS ph_ok
+  FROM vals
+)
+SELECT doc_id,
+  CASE WHEN em_ok THEN NULL ELSE 'INVALID_EMAIL' END AS em_code,
+  CASE WHEN em_ok THEN NULL ELSE '{em_msg}' END AS em_msg,
+  CASE WHEN dt_ok THEN NULL ELSE 'INVALID_DATE' END AS dt_code,
+  CASE WHEN uu_ok THEN NULL ELSE 'INVALID_UUID' END AS uu_code,
+  CASE WHEN ip_ok THEN NULL ELSE 'INVALID_IPV4' END AS ip_code,
+  CASE WHEN ph_ok THEN NULL ELSE 'INVALID_PHONE' END AS ph_code,
+  (em_ok AND dt_ok AND uu_ok AND ip_ok AND ph_ok) AS valid
+FROM checks
+""",
+        "optional_vs_missing": """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS v
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN v IS NULL THEN NULL
+       WHEN regexp_matches(v, '^[a-z]{2}$') THEN v ELSE NULL END AS opt_value,
+  CASE WHEN v IS NULL THEN 'MISSING_FIELD'
+       WHEN NOT regexp_matches(v, '^[a-z]{2}$') THEN 'PATTERN_ERROR' ELSE NULL END AS req_code,
+  CASE WHEN v IS NULL THEN 'Missing required field: ''req'''
+       WHEN NOT regexp_matches(v, '^[a-z]{2}$') THEN 'Pattern error: ''' || v || ''' does not match pattern ''^[a-z]{2}$''' ELSE NULL END AS req_msg,
+  (v IS NOT NULL AND regexp_matches(v, '^[a-z]{2}$')) AS valid
+FROM d
+""",
+        "object_error": f"""
+WITH v AS ({_FLAGSHIP_VIOL_SQL}),
+parts AS (
+  SELECT doc_id,
+    CASE WHEN v1 IS NULL THEN NULL ELSE
+      '("' || split_part(v1, '|', 1) || '", ValidationError {{ code: "' || split_part(v1, '|', 2) || '", message: "' || split_part(v1, '|', 3) || '" }})' END AS p1,
+    CASE WHEN v2 IS NULL THEN NULL ELSE
+      '("' || split_part(v2, '|', 1) || '", ValidationError {{ code: "' || split_part(v2, '|', 2) || '", message: "' || split_part(v2, '|', 3) || '" }})' END AS p2,
+    CASE WHEN v3 IS NULL THEN NULL ELSE
+      '("' || split_part(v3, '|', 1) || '", ValidationError {{ code: "' || split_part(v3, '|', 2) || '", message: "' || split_part(v3, '|', 3) || '" }})' END AS p3,
+    (v1 IS NULL AND v2 IS NULL AND v3 IS NULL) AS ok
+  FROM v
+)
+SELECT doc_id,
+  CASE WHEN ok THEN NULL ELSE 'OBJECT_ERROR' END AS obj_code,
+  CASE WHEN ok THEN NULL ELSE 'Object validation failed: [' || concat_ws(', ', p1, p2, p3) || ']' END AS obj_msg
+FROM parts
+""",
+        "verdicts_by_lang": f"""
+WITH v AS ({_FLAGSHIP_VIOL_SQL})
+SELECT lang,
+  count(*) AS total_rows,
+  sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 1 ELSE 0 END) AS passed_rows,
+  sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 0 ELSE 1 END) AS failed_rows,
+  (sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 0 ELSE 1 END) = 0) AS all_passed
+FROM v JOIN documents USING (doc_id)
+GROUP BY lang
+""",
+        "profile_documents": """
+SELECT lang,
+  count(*) AS row_count,
+  count(n_chars) AS n_chars_count,
+  sum((n_chars IS NULL)::BIGINT) AS n_chars_nulls,
+  round(sum((n_chars IS NULL)::BIGINT) / count(*)::DOUBLE, 6) AS n_chars_null_rate,
+  min(n_chars) AS n_chars_min,
+  max(n_chars) AS n_chars_max,
+  count(DISTINCT n_chars) AS n_chars_distinct,
+  round(avg(n_chars), 6) AS n_chars_mean,
+  count(text) AS text_count,
+  sum((text IS NULL)::BIGINT) AS text_nulls,
+  count(DISTINCT text) AS text_distinct
+FROM documents GROUP BY lang
+""",
+        "profile_events": """
+SELECT event_type,
+  count(*) AS row_count,
+  count(value) AS value_count,
+  sum((value IS NULL)::BIGINT) AS value_nulls,
+  min(value) AS value_min,
+  max(value) AS value_max,
+  count(DISTINCT value) AS value_distinct,
+  min(user_id) AS user_id_min,
+  max(user_id) AS user_id_max,
+  count(DISTINCT user_id) AS user_id_distinct
+FROM events GROUP BY event_type
+""",
+        "histogram_nchars": """
+SELECT
+  CASE WHEN n_chars < 0 THEN 0
+       WHEN n_chars >= 640 THEN 17
+       ELSE CAST(floor(n_chars / 40.0) AS BIGINT) + 1 END AS bucket,
+  count(*) AS cnt
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1
+""",
+        "duplicate_keys_lang": """
+SELECT lang, count(*) AS dup_count FROM documents GROUP BY lang HAVING count(*) > 1
+""",
+        "duplicate_keys_salted": """
+SELECT lang, count(*) AS dup_count FROM documents GROUP BY lang HAVING count(*) > 1
+""",
+        "dedup_agg": """
+SELECT lang, doc_id, source, n_chars FROM (
+  SELECT lang, doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+        "dedup_window": """
+SELECT source, doc_id, lang, n_chars FROM (
+  SELECT source, doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+        "orphans_events": """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id
+  )
+""",
+        "fingerprint_dups": f"""
+WITH u AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT upper(text) || '  ' FROM documents
+)
+SELECT md5({_NORM_TEXT}) AS fingerprint, count(*) AS dup_count
+FROM u GROUP BY 1 HAVING count(*) > 1
+""",
+        "psi_drift": """
+WITH b AS (
+  SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 640 THEN 17
+              ELSE CAST(floor(n_chars / 40.0) AS BIGINT) + 1 END AS bucket
+  FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL
+), c AS (
+  SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 640 THEN 17
+              ELSE CAST(floor(n_chars / 40.0) AS BIGINT) + 1 END AS bucket
+  FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL
+), bh AS (SELECT bucket, count(*)::DOUBLE AS n FROM b GROUP BY 1),
+ch AS (SELECT bucket, count(*)::DOUBLE AS n FROM c GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 17)) AS bucket),
+probs AS (
+  SELECT g.bucket,
+    greatest(coalesce(bh.n, 0) / (SELECT sum(n) FROM bh), 1e-4) AS p,
+    greatest(coalesce(ch.n, 0) / (SELECT sum(n) FROM ch), 1e-4) AS q
+  FROM grid g LEFT JOIN bh ON g.bucket = bh.bucket LEFT JOIN ch ON g.bucket = ch.bucket
+), agg AS (SELECT sum((p - q) * ln(p / q)) AS psi_raw FROM probs)
+SELECT 'n_chars' AS col_name, round(psi_raw, 4) AS psi, psi_raw > 0.25 AS drifted FROM agg
+""",
+        "minhash_near_dups": f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT _id,
+    [list_aggregate(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)), 'min')
+     FOR h IN generate_series(0, 31)] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT _id, sig, b.b AS band,
+    md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.sig AS sa, r.sig AS sb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l._id < r._id
+)
+SELECT id_a, id_b,
+  len([i FOR i IN generate_series(1, 32) IF sa[i] = sb[i]]) / 32.0 AS est_jaccard
+FROM pairs
+WHERE len([i FOR i IN generate_series(1, 32) IF sa[i] = sb[i]]) / 32.0 >= 0.5
+""",
+        "ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT _id, unnest(sh) AS g FROM sh),
+cand AS (
+  SELECT l._id AS id_a, r._id AS id_b, count(*) AS inter_size
+  FROM ex l JOIN ex r ON l.g = r.g AND l._id < r._id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT _id, len(sh) AS n FROM sh)
+SELECT id_a, id_b,
+  round(inter_size / (a.n + b.n - inter_size)::DOUBLE, 6) AS jaccard
+FROM cand
+JOIN sizes a ON a._id = id_a
+JOIN sizes b ON b._id = id_b
+WHERE round(inter_size / (a.n + b.n - inter_size)::DOUBLE, 6) >= 0.8
+""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c CROSS JOIN q
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 10
+""",
+        "embedding_near_dups": f"""
+WITH u AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+),
+s AS (SELECT _id, v, {srp12} AS sig FROM u),
+pairs AS (
+  SELECT l._id AS id_a, r._id AS id_b,
+    round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+  FROM s l JOIN s r ON l.sig = r.sig AND l._id < r._id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+""",
+        "text_metrics": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+    {s_defs}
+  FROM d
+), g AS (
+  SELECT doc_id, text, n_chars, n_words,
+    len(regexp_extract_all(text, '[A-Za-z]')) / greatest(n_words, 1)::DOUBLE AS mean_word_len,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+    {_stopword_sql('text', 'en')} / greatest(n_words, 1)::DOUBLE AS stopword_ratio,
+    s_de, s_en, s_es, s_fr
+  FROM f
+)
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens_bpe,
+  round(
+    0.4 * least(n_words / 50.0, 1.0)
+    + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.0 END)
+    + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+    + 0.2 * least(stopword_ratio / 0.06, 1.0), 4) AS quality,
+  md5({_NORM_TEXT}) AS fingerprint,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(stopword_ratio, 4) AS stopword_ratio,
+  {lang_case} AS lang_pred
+FROM g
+""",
+        "language_counts": f"""
+WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL),
+f AS (SELECT text, {s_defs} FROM d)
+SELECT {lang_case} AS lang_pred, count(*) AS n FROM f GROUP BY 1
+""",
+        "winnow_fingerprint": f"""
+WITH d AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+  list_aggregate([md5(substr(t, i, 16)) FOR i IN generate_series(1, greatest(length(t) - 15, 1))], 'min') AS winnow
+FROM d
+""",
+        "multimodal_features": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t, md5(coalesce(text, '')) AS h FROM documents
+)
+SELECT doc_id AS media_id,
+  'image/fake' AS media_type,
+  octet_length(encode(t)) AS n_bytes,
+  h AS content_hash,
+  [((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0,
+   ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0,
+   ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0,
+   ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0
+  ] AS feature
+FROM d
+""",
+        "frame_samples": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+fr AS (
+  SELECT doc_id, t,
+    unnest(generate_series(0, greatest(CAST(ceil(strlen(t) / 64.0) AS BIGINT) - 1, 0))) AS g
+  FROM d
+)
+SELECT doc_id AS media_id,
+  g AS frame_no,
+  md5(substr(t, CAST(g AS INT) * 64 + 1, 64)) AS frame_hash
+FROM fr
+""",
+    }

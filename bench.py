@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Also times the flagship web_pages constraint plan over a deterministically
+generated Common-Crawl-style table (the north-rule workload) and reports its
+docs/sec alongside the per-query seconds.  Scaling-efficiency evidence
+(local[8] vs local[32]) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEB_ROWS = int(os.environ.get("SPARK_GRAFT_WEB_ROWS", "300000"))
+
+# headline subset of __spark_entry__.queries(): the scale-relevant operators
+HEADLINE = [
+    "validate_flagship",
+    "object_error",
+    "verdicts_by_lang",
+    "profile_documents",
+    "histogram_nchars",
+    "dedup_window",
+    "orphans_events",
+    "fingerprint_dups",
+    "psi_drift",
+    "text_metrics",
+    "minhash_near_dups_fast",
+    "simhash_near_dups",
+    "cosine_topk",
+    "web_pages_full_plan",
+]
+
+
+def _count(df):
+    return df.count()
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from schema_validator_spark.operators import dedup as D
+    from schema_validator_spark.session import get_spark
+    from schema_validator_spark.sources.webpages import (
+        generate_web_pages,
+        web_page_schema,
+    )
+    from schema_validator_spark import ValidationPlan
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    qs = entrymod.queries()
+
+    def minhash_fast(spark, sf_dir):
+        # xxhash64 family — the JVM fast path used at scale
+        return D.minhash_near_duplicates(
+            entrymod._planted_text_union(spark, sf_dir),
+            "doc_id",
+            threshold=0.5,
+            num_hashes=32,
+            bands=8,
+            hash_fn="xxhash64",
+        )
+
+    web = generate_web_pages(spark, WEB_ROWS).cache()
+    n_web = web.count()  # materialize so generation isn't timed
+    web_plan = ValidationPlan(web_page_schema())
+
+    def web_full(spark, sf_dir):
+        return web_plan.apply(web).agg(
+            F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))
+        )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name in HEADLINE:
+        if name == "minhash_near_dups_fast":
+            fn = minhash_fast
+        elif name == "web_pages_full_plan":
+            fn = web_full
+        else:
+            fn = qs[name]
+        t0 = time.time()
+        _count(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    extras["web_pages_docs_per_sec"] = round(n_web / timings["web_pages_full_plan"], 1)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (validated docs/sec in queries.web_pages_docs_per_sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": {**timings, **extras},
+                "sf": sf,
+                "cpus": CPUS,
+                "web_rows": n_web,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

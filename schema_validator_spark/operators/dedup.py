@@ -95,18 +95,20 @@ def minhash_lsh_candidates(
     sig = minhash_signature(word_shingles(F.col(text_col), n_gram), num_hashes, hash_fn)
     with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
 
+    def _bucket(b: int):
+        comps = [F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            # md5 of the joined band slice — byte-identical in DuckDB, so the
+            # whole LSH pipeline (not just the signatures) is oracle-checkable.
+            return F.md5(F.concat_ws("|", *[c.cast("string") for c in comps]))
+        return F.xxhash64(F.lit(b), *comps).cast("string")
+
     band_entries = with_sig.select(
         "_id",
         "_sig",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("_band"),
@@ -233,6 +235,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text", n_gram: int = 2
+) -> DataFrame:
+    """Per-doc 64-bit SimHash via explode → hash → groupBy(id) with 64 native
+    sum aggregates (map-side partial agg; one shuffle keyed by id).
+
+    This is the scale shape: the single-expression ``simhash64`` fold evaluates
+    64 array passes per row — fine for ad-hoc use, ~10× slower in practice.
+    Output: (_id, _fp).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n_gram)).alias("_g"),
+    ).select("_id", F.xxhash64("_g").alias("_h"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("_h"), i)
+            .bitwiseAND(F.lit(1).cast("bigint"))
+            .cast("int") * 2 - 1
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = sh.groupBy("_id").agg(*votes)
+    fp = F.lit(0).cast("bigint")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return agg.select("_id", fp.alias("_fp"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -243,7 +278,7 @@ def simhash_near_duplicates(
     """SimHash near-dups: block on 16-bit prefixes (4 rotations) so only rows
     agreeing on one block are compared — a pigeonhole guarantee for
     max_hamming ≤ 3 over 4 blocks.  Output: (id_a, id_b, hamming)."""
-    fp = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_fp"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     n_blocks = 64 // block_bits
     mask = (1 << block_bits) - 1
     blocked = fp.select(

@@ -150,16 +150,21 @@ def ivf_topk(
     centroid once, queries probe the nprobe nearest centroid cells.
     """
     # Deterministic centroid "sample" without a global sort: hash-select
-    # ~n_centroids rows, then number the (tiny) result.
+    # ~n_centroids rows, rank the (tiny) survivor set by id, keep the first
+    # n_centroids.  (No bare ``limit`` — that picks partition-order-dependent
+    # rows and breaks run-to-run determinism.)
     total = corpus.count()
     stride = max(total // n_centroids, 1)
     sampled = corpus.where(
         F.pmod(F.abs(F.xxhash64(F.col(corpus_id))), F.lit(stride)) == 0
-    ).limit(n_centroids)
-    w_cent = Window.orderBy(F.col(corpus_id))  # ≤ n_centroids rows — trivial
-    centroids = sampled.select(
-        (F.row_number().over(w_cent) - 1).alias("centroid_id"),
-        F.col(corpus_vec).alias("_cent"),
+    )
+    w_cent = Window.orderBy(F.col(corpus_id))  # ~n_centroids rows — trivial
+    centroids = (
+        sampled.select(
+            (F.row_number().over(w_cent) - 1).alias("centroid_id"),
+            F.col(corpus_vec).alias("_cent"),
+        )
+        .where(F.col("centroid_id") < n_centroids)
     )
     cb = F.broadcast(centroids)
 
