@@ -1,0 +1,114 @@
+"""Structured-Streaming execution of constraint plans.
+
+The reference is batch-only (single values, SURVEY.md §1), so streaming is an
+engine-level extension: the SAME compiled plan applies unchanged to a
+streaming DataFrame because it is one stateless projection — no rewrite, no
+separate code path.  What streaming adds:
+
+- ``validate_stream``: plan.apply on a readStream source (works because the
+  compiled plan is a pure projection; Catalyst treats it identically).
+- ``windowed_verdicts``: per-event-time-window pass/fail counts with a
+  watermark so late data is bounded and state is evictable — the streaming
+  analog of per-partition verdicts.
+- ``write_validated``: foreachBatch sink writing validated rows + appending
+  per-batch verdict/metrics rows to a manifest (lineage for streams mirrors
+  the batch checkpoint manifest in sources/io.py); exactly-once via the
+  streaming checkpoint + idempotent batch-id column.
+
+At scale: the projection is stateless (no shuffle); the windowed agg shuffles
+only the tiny per-window counters; watermark bounds state size regardless of
+input volume.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.runner import VALID_COL, ValidationPlan
+
+
+def validate_stream(plan: ValidationPlan, stream_df: DataFrame) -> DataFrame:
+    """Apply a compiled constraint plan to a streaming DataFrame.
+
+    The plan is a single stateless projection, so it is directly
+    streaming-compatible (no state, no watermark required)."""
+    return plan.apply(stream_df)
+
+
+def windowed_verdicts(
+    validated: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time-windowed pass/fail verdicts with a watermark.
+
+    Output per window: total/passed/failed counts + pass flag — the streaming
+    unit of verdict, analogous to the batch per-partition verdict."""
+    return (
+        validated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.col(VALID_COL).cast("long")).alias("passed_rows"),
+            F.sum((~F.col(VALID_COL)).cast("long")).alias("failed_rows"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "total_rows",
+            "passed_rows",
+            "failed_rows",
+            (F.col("failed_rows") == 0).alias("pass"),
+        )
+    )
+
+
+def write_validated(
+    validated: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    manifest_path: Optional[str] = None,
+    trigger_once: bool = True,
+    extra_batch_fn: Optional[Callable[[DataFrame, int], None]] = None,
+):
+    """foreachBatch sink: append validated rows; record per-batch verdict
+    metrics to a manifest parquet (batch_id column makes replays idempotent —
+    dedup on batch_id when reading the manifest).
+
+    Returns the started StreamingQuery; with ``trigger_once`` the query
+    processes all available input then stops (the batch-like incremental
+    pattern used for backfills and tests)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(out_path)
+            if manifest_path is not None:
+                (
+                    batch_df.agg(
+                        F.count(F.lit(1)).alias("total_rows"),
+                        F.sum(F.col(VALID_COL).cast("long")).alias("passed_rows"),
+                        F.sum((~F.col(VALID_COL)).cast("long")).alias("failed_rows"),
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .withColumn("completed_at", F.current_timestamp())
+                    .write.mode("append")
+                    .parquet(manifest_path)
+                )
+            if extra_batch_fn is not None:
+                extra_batch_fn(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        validated.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,102 @@
+"""Structured-Streaming execution of constraint plans (streaming/runner.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationPlan, schema
+from schema_validator_spark.streaming.runner import (
+    validate_stream,
+    windowed_verdicts,
+    write_validated,
+)
+
+
+@pytest.fixture()
+def plan():
+    s = schema()
+    return ValidationPlan(
+        s.object()
+        .field("url", s.string().pattern(r"^https://.*$"))
+        .field("text", s.string().min_length(5).optional())
+    )
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    path = str(tmp_path / "src")
+    rows = [
+        (i,
+         ("https://ok.example/%d" % i) if i % 3 else "ftp://bad",
+         "long enough text" if i % 4 else "x",
+         "2024-01-01 00:0%d:00" % (i % 10))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, text string, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _read_stream(spark, source_dir):
+    static = spark.read.parquet(source_dir)
+    return spark.readStream.schema(static.schema).parquet(source_dir)
+
+
+def test_stream_validate_and_sink(spark, plan, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = str(tmp_path / "manifest")
+
+    stream = _read_stream(spark, source_dir)
+    validated = validate_stream(plan, stream)
+    q = write_validated(validated, out, ckpt, manifest_path=manifest)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    # url fails on i % 3 == 0 (7 rows); text fails on i % 4 == 0 (5 rows)
+    assert got.where("valid").count() == sum(
+        1 for i in range(20) if i % 3 != 0 and i % 4 != 0
+    )
+    m = spark.read.parquet(manifest).collect()
+    assert sum(r["total_rows"] for r in m) == 20
+    assert {"batch_id", "passed_rows", "failed_rows"} <= set(m[0].asDict())
+
+    # restart with same checkpoint: no new data -> no duplicate rows
+    q2 = write_validated(
+        validate_stream(plan, _read_stream(spark, source_dir)), out, ckpt,
+        manifest_path=manifest,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_windowed_verdicts(spark, plan, source_dir, tmp_path):
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+
+    stream = _read_stream(spark, source_dir)
+    verdicts = windowed_verdicts(
+        validate_stream(plan, stream), "ts", "1 minute", "2 minutes"
+    )
+    q = (
+        verdicts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; with a single
+    # micro-batch the final windows stay open, so just assert shape + totals
+    rows = spark.read.parquet(out).collect()
+    assert all(
+        r["total_rows"] == r["passed_rows"] + r["failed_rows"] for r in rows
+    )
+    cols = {"window_start", "window_end", "total_rows", "passed_rows",
+            "failed_rows", "pass"}
+    got_cols = set(spark.read.parquet(out).columns)
+    assert cols <= got_cols
