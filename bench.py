@@ -94,6 +94,8 @@ def main():
         t0 = time.time()
         _count(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     extras["web_pages_docs_per_sec"] = round(n_web / timings["web_pages_full_plan"], 1)
     total = round(sum(timings.values()), 3)

@@ -92,8 +92,17 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sig = minhash_signature(word_shingles(F.col(text_col), n_gram), num_hashes, hash_fn)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # Materialize shingles in their own projection so the (expensive) shingle
+    # construction is evaluated ONCE per row — inlining it into each of the
+    # num_hashes signature components would recompute it num_hashes times.
+    # (CollapseProject keeps the split: the alias is non-cheap and multiply
+    # referenced.)
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n_gram).alias("_shingles"),
+    )
+    sig = minhash_signature(F.col("_shingles"), num_hashes, hash_fn)
+    with_sig = shingled.select("_id", sig.alias("_sig"))
 
     def _bucket(b: int):
         comps = [F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
