@@ -277,6 +277,41 @@ def q_optional_vs_missing(spark, sf_dir):
     )
 
 
+def q_json_ingest(spark, sf_dir):
+    """Dynamic-typed JSON-object ingestion (object.rs:201-316 semantics):
+    number widening to f64, missing-vs-null, array/object row abort,
+    non-object root, unparseable input."""
+    from schema_validator_spark.plans.json import validate_json_objects
+
+    d = F.col("doc_id")
+    nstr = F.col("n_chars").cast("string")
+    j = (
+        F.when(d % 7 == 0, F.format_string('{"name":"u%s","age":%s,"active":true}', d.cast("string"), nstr))
+        .when(d % 7 == 1, F.format_string('{"name":123,"age":"%s"}', nstr))
+        .when(d % 7 == 2, F.lit('{"age":null,"name":"ok"}'))
+        .when(d % 7 == 3, F.format_string('{"name":"x%s","age":1,"extra":[1,2]}', d.cast("string")))
+        .when(d % 7 == 4, F.lit("[1,2]"))
+        .when(d % 7 == 5, F.lit("not json"))
+        .otherwise(F.lit('{"name":"solo"}'))
+    )
+    df = _t(spark, sf_dir, "documents").select("doc_id", j.alias("j"))
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("name", s.string().min_length(2))
+        .field("age", sv.schema().coerce().number().optional())
+    )
+    out = validate_json_objects(df, "j", obj)
+    detail = F.concat_ws(
+        "; ",
+        F.transform(
+            F.col("violations"),
+            lambda x: F.concat_ws("|", x["field"], x["code"], x["message"]),
+        ),
+    )
+    return out.select("doc_id", "name", "age", "valid", detail.alias("detail"))
+
+
 def q_object_error(spark, sf_dir):
     """Row-level OBJECT_ERROR rendering (error.rs:113-117)."""
     plan = _flagship_plan()
@@ -578,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "literal_lang": q_literal_lang,
         "builtin_patterns": q_builtin_patterns,
         "optional_vs_missing": q_optional_vs_missing,
+        "json_ingest": q_json_ingest,
         "object_error": q_object_error,
         "verdicts_by_lang": q_verdicts_by_lang,
         # table-level engine operators
@@ -775,6 +811,24 @@ SELECT doc_id,
   CASE WHEN v IS NULL THEN 'Missing required field: ''req'''
        WHEN NOT regexp_matches(v, '^[a-z]{2}$') THEN 'Pattern error: ''' || v || ''' does not match pattern ''^[a-z]{2}$''' ELSE NULL END AS req_msg,
   (v IS NOT NULL AND regexp_matches(v, '^[a-z]{2}$')) AS valid
+FROM d
+""",
+        "json_ingest": """
+WITH d AS (SELECT doc_id, n_chars FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN 'u' || doc_id
+       WHEN doc_id % 7 = 2 THEN 'ok'
+       WHEN doc_id % 7 = 6 THEN 'solo' ELSE NULL END AS name,
+  CASE WHEN doc_id % 7 IN (0, 1) THEN n_chars::DOUBLE ELSE NULL END AS age,
+  (doc_id % 7 IN (0, 2)) AS valid,
+  CASE doc_id % 7
+    WHEN 0 THEN ''
+    WHEN 1 THEN 'name|TYPE_ERROR|Type error: expected String, got Float'
+    WHEN 2 THEN ''
+    WHEN 3 THEN 'j|TYPE_ERROR|Type error: expected String, Number, Boolean or Null, got Array or Object'
+    WHEN 4 THEN 'j|TYPE_ERROR|Type error: expected Object, got Non-object JSON value'
+    WHEN 5 THEN 'j|TYPE_ERROR|Type error: expected Object or JSON object, got Unknown'
+    ELSE 'age|MISSING_FIELD|Missing required field: ''age''' END AS detail
 FROM d
 """,
         "object_error": f"""

@@ -1,9 +1,21 @@
 """SparkSession factory with the engine's scale-oriented defaults.
 
-Defaults target the sandbox (local[N], 32 threads) but every setting is the
-one you'd ship to a 1000-executor cluster: AQE on (post-shuffle coalescing,
+Defaults target the sandbox (local[N], 32 cores) but every setting is the one
+you'd ship to a 1000-executor cluster: AQE on (post-shuffle coalescing,
 dynamic broadcast selection, skew-join splitting), Arrow enabled for the
 pandas-UDF stages, shuffle partitions sized to the parallelism.
+
+Two settings exist specifically because of how threaded JVMs behave under
+concurrency (measured on this box, tools/bench_scaling.py):
+
+- ``-Xms == -Xmx`` + ``-XX:+AlwaysPreTouch``: a lazily-grown heap makes every
+  young-gen allocation fault fresh kernel pages; page-zeroing serializes
+  badly when 32 task threads allocate at once (observed 3-10x slowdowns and
+  run-to-run variance).  Pre-touching moves that cost to startup, once.
+- ``spark.sql.files.maxPartitionBytes=64m`` (vs the 128m default): at
+  sandbox data sizes the default yields fewer scan tasks than cores; 64m
+  keeps every core fed while staying a perfectly reasonable split size for a
+  real cluster scan.
 """
 
 from __future__ import annotations
@@ -17,9 +29,12 @@ def get_spark(
     app_name: str = "schema_validator_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    driver_mem = driver_mem or os.environ.get("SPARK_DRIVER_MEM", "16g")
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -28,7 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", max_part)
+        .config("spark.driver.memory", driver_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
