@@ -85,6 +85,12 @@ class CompiledField:
     value: Column  # transformed output; NULL when the row failed this field
     violation: Column  # struct<field,code,message>, NULL when the field passed
     out_ddl: str
+    # pure-boolean pass flag, equivalent to violation.isNull() but built from
+    # the raw check conditions WITHOUT any struct/array machinery: queries
+    # that only consume `valid` (verdict aggregation — the 100 TB hot path)
+    # let Catalyst prune the violation structs entirely and keep the whole
+    # projection inside whole-stage codegen (higher-order array exprs break it)
+    passes: Column = None
 
 
 def _override(cfg: Optional[ErrorConfig], code, message):
@@ -104,6 +110,7 @@ def _const_field(name: str, out_ddl: str, code, message) -> CompiledField:
         F.lit(None).cast(out_ddl),
         _viol(name, code, message),
         out_ddl,
+        F.lit(False),
     )
 
 
@@ -341,6 +348,7 @@ def _compile_boolean(
             F.when(col.isNull(), false_val).otherwise(cf.value),
             F.when(col.isNull(), _null_viol()).otherwise(cf.violation),
             "boolean",
+            F.when(col.isNull(), F.lit(True)).otherwise(cf.passes),
         )
     return cf
 
@@ -401,16 +409,19 @@ def _finish(
 ) -> CompiledField:
     """Assemble the when-chain (first failing check wins) + NULL handling."""
     viol = _null_viol()
+    fail_any = F.lit(False)
     if checks:
         chain = None
         for cond, v in checks:
             chain = F.when(cond, v) if chain is None else chain.when(cond, v)
+            fail_any = fail_any | F.coalesce(cond, F.lit(False))
         viol = chain.otherwise(_null_viol())
 
     if sch.nullable:
         # optional(): NULL passes with NULL output (optional.rs:65-98)
         viol = F.when(src_col.isNull(), _null_viol()).otherwise(viol)
         value = F.when(src_col.isNull(), F.lit(None).cast(out_ddl)).otherwise(value)
+        passes = F.when(src_col.isNull(), F.lit(True)).otherwise(~fail_any)
     else:
         # NULL in a required column = missing field (object.rs:297-305);
         # uses the OBJECT-level error config, patched in by compile_object.
@@ -418,9 +429,10 @@ def _finish(
             missing_cfg, E.MISSING_FIELD, E.missing_field_message(name)
         )
         viol = F.when(src_col.isNull(), _viol(name, code, msg)).otherwise(viol)
+        passes = F.when(src_col.isNull(), F.lit(False)).otherwise(~fail_any)
 
     value = F.when(viol.isNull(), value).otherwise(F.lit(None).cast(out_ddl))
-    return CompiledField(name, value, viol, out_ddl)
+    return CompiledField(name, value, viol, out_ddl, passes)
 
 
 _COMPILERS = {
@@ -450,6 +462,7 @@ def compile_field(
             F.when(col.isNull(), F.lit(None).cast(cf.out_ddl)).otherwise(cf.value),
             F.when(col.isNull(), _null_viol()).otherwise(cf.violation),
             cf.out_ddl,
+            F.when(col.isNull(), F.lit(True)).otherwise(cf.passes),
         )
     if missing_cfg is not None and not sch.nullable and not (
         isinstance(sch, BooleanSchema) and sch.coerce
@@ -464,6 +477,7 @@ def compile_field(
                 _viol(name, F.lit(missing_cfg.code), F.lit(missing_cfg.message)),
             ).otherwise(cf.violation),
             cf.out_ddl,
+            cf.passes,
         )
     if getattr(sch, "opt_transforms", None):
         # Option-mapping transforms (optional.rs:36-47, 56-63): the callable
@@ -477,6 +491,7 @@ def compile_field(
             ),
             cf.violation,
             out_ddl,
+            cf.passes,
         )
     return cf
 

@@ -63,7 +63,16 @@ class ValidationPlan:
             F.array(*[f.violation for f in fields]), lambda v: v.isNotNull()
         )
         cols.append(viol_array.alias(VIOLATIONS_COL))
-        cols.append((F.size(viol_array) == 0).alias(VALID_COL))
+        # `valid` is a pure-boolean conjunction (NOT derived from the array):
+        # downstream plans that consume only `valid` — verdict aggregation,
+        # the scaling-bench hot path — let Catalyst prune the violation
+        # structs and the higher-order filter entirely, keeping the whole
+        # projection in whole-stage codegen.  Equivalence with
+        # size(violations)==0 is asserted in tests.
+        valid = fields[0].passes
+        for f in fields[1:]:
+            valid = valid & f.passes
+        cols.append(valid.alias(VALID_COL))
         return df.select(*cols)
 
     # -- derived outputs -------------------------------------------------
