@@ -324,6 +324,13 @@ def q_object_error(spark, sf_dir):
     )
 
 
+def q_validate_as_typed(spark, sf_dir):
+    """Typed extraction (validate_as::<T> analog, object.rs:381-392): passing
+    rows projected to the schema's typed fields."""
+    plan = _flagship_plan()
+    return plan.validate_as(_t(spark, sf_dir, "documents"), keys=["doc_id"])
+
+
 def q_verdicts_by_lang(spark, sf_dir):
     """Per-partition pass/fail verdicts (grouped by lang)."""
     plan = _flagship_plan()
@@ -421,6 +428,16 @@ def q_orphans_events(spark, sf_dir):
     return R.orphans(fact, dim, ["user_id"], ["c_custkey"], strategy="broadcast").select(
         "event_id", "user_id", "event_type"
     )
+
+
+def q_orphans_shuffle_hash(spark, sf_dir):
+    """Same referential check, shuffle-hash join strategy (the path for
+    dimensions too large to broadcast)."""
+    fact = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return R.orphans(
+        fact, dim, ["user_id"], ["c_custkey"], strategy="shuffle_hash"
+    ).select("event_id", "user_id", "event_type")
 
 
 def q_fingerprint_dups(spark, sf_dir):
@@ -616,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_ingest": q_json_ingest,
         "object_error": q_object_error,
         "verdicts_by_lang": q_verdicts_by_lang,
+        "validate_as_typed": q_validate_as_typed,
         # table-level engine operators
         "profile_documents": q_profile_documents,
         "profile_events": q_profile_events,
@@ -625,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agg": q_dedup_agg,
         "dedup_window": q_dedup_window,
         "orphans_events": q_orphans_events,
+        "orphans_shuffle_hash": q_orphans_shuffle_hash,
         "fingerprint_dups": q_fingerprint_dups,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
@@ -849,6 +868,12 @@ SELECT doc_id,
   CASE WHEN ok THEN NULL ELSE 'Object validation failed: [' || concat_ws(', ', p1, p2, p3) || ']' END AS obj_msg
 FROM parts
 """,
+        "validate_as_typed": f"""
+WITH v AS ({_FLAGSHIP_VIOL_SQL})
+SELECT doc_id, text, lang, source
+FROM v JOIN documents USING (doc_id)
+WHERE v1 IS NULL AND v2 IS NULL AND v3 IS NULL
+""",
         "verdicts_by_lang": f"""
 WITH v AS ({_FLAGSHIP_VIOL_SQL})
 SELECT lang,
@@ -917,6 +942,14 @@ SELECT source, doc_id, lang, n_chars FROM (
 ) WHERE rn = 1
 """,
         "orphans_events": """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id
+  )
+""",
+        "orphans_shuffle_hash": """
 SELECT e.event_id, e.user_id, e.event_type
 FROM events e
 WHERE e.user_id IS NOT NULL

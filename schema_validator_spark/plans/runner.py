@@ -135,6 +135,23 @@ class ValidationPlan:
             "pass", F.col("failed_rows") == 0
         )
 
+    def validate_as(self, df: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+        """Typed extraction — the analog of ``validate_as::<T>`` /
+        ``#[derive(Validate)]`` (object.rs:381-392, mapping.rs:45-57): rows
+        that pass validation, projected to exactly the schema's fields (plus
+        optional passthrough ``keys``), typed per ``result_type()``.
+
+        Rows with any violation are dropped (the reference returns Err for
+        the whole object)."""
+        validated = self.apply(df)
+        field_cols = [
+            F.col(name).cast(getattr(s, "output_type", "string"))
+            for name, s in self.schema.fields.items()
+        ]
+        return validated.where(F.col(VALID_COL)).select(
+            *[F.col(k) for k in keys], *field_cols
+        )
+
     def run_with_metrics(
         self, df: DataFrame
     ) -> tuple[DataFrame, Observation]:
