@@ -19,6 +19,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work (shingling, hashing) across the
+    cluster when the upstream scan produced too few partitions — one small
+    input file would otherwise pin the whole pipeline to 1-2 cores.  The
+    repartition shuffles only the raw (id, text) rows, which is trivially
+    cheap next to the per-row hashing it unlocks.  No-op when the scan is
+    already parallel (the normal case at real scale)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 # -- shingling ---------------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -97,10 +110,9 @@ def minhash_lsh_candidates(
     # num_hashes signature components would recompute it num_hashes times.
     # (CollapseProject keeps the split: the alias is non-cheap and multiply
     # referenced.)
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n_gram).alias("_shingles"),
-    )
+    shingled = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_shingles"))
     sig = minhash_signature(F.col("_shingles"), num_hashes, hash_fn)
     with_sig = shingled.select("_id", sig.alias("_sig"))
 
@@ -180,10 +192,9 @@ def ngram_jaccard_pairs(
     correct but O(Σ per-shingle pairs); at web scale use minhash_lsh first
     and this only to verify candidates.  Output: (id_a, id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n_gram).alias("_sh"),
-    )
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_sh"))
     exploded = sh.select("_id", F.explode("_sh").alias("_g"))
     cand = (
         exploded.alias("l")
@@ -254,26 +265,44 @@ def simhash_fingerprints(
     64 array passes per row — fine for ad-hoc use, ~10× slower in practice.
     Output: (_id, _fp).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n_gram)).alias("_g"),
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select(
+        "_id", F.explode(word_shingles(F.col("_text"), n_gram)).alias("_g")
     ).select("_id", F.xxhash64("_g").alias("_h"))
-    votes = [
-        F.sum(
-            F.shiftright(F.col("_h"), i)
-            .bitwiseAND(F.lit(1).cast("bigint"))
-            .cast("int") * 2 - 1
-        ).alias(f"_v{i}")
-        for i in range(64)
-    ]
-    agg = sh.groupBy("_id").agg(*votes)
+
+    # Pack 4 per-bit set-counters into 16-bit lanes of one long: 16 native sum
+    # aggregates instead of 64 (4x fewer agg-buffer updates; counters can't
+    # borrow across lanes because they're non-negative).  bit i is set in the
+    # fingerprint iff its +1/-1 vote is positive, i.e. 2*ones_i > n_shingles.
+    # Lane width bounds docs to <65536 shingles — far beyond any web page.
+    one = F.lit(1).cast("bigint")
+
+    def _packed(k: int):
+        def bit(lane: int):
+            return F.shiftright(F.col("_h"), k * 4 + lane).bitwiseAND(one)
+
+        return F.sum(
+            bit(0)
+            + F.shiftleft(bit(1), 16)
+            + F.shiftleft(bit(2), 32)
+            + F.shiftleft(bit(3), 48)
+        ).alias(f"_p{k}")
+
+    agg = sh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"), *[_packed(k) for k in range(16)]
+    )
+    mask = F.lit(0xFFFF).cast("bigint")
     fp = F.lit(0).cast("bigint")
-    for i in range(64):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
+    for k in range(16):
+        for lane in range(4):
+            ones = F.shiftright(F.col(f"_p{k}"), 16 * lane).bitwiseAND(mask)
+            fp = fp.bitwiseOR(
+                F.when(
+                    ones * 2 > F.col("_n"),
+                    F.shiftleft(one, k * 4 + lane),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
     return agg.select("_id", fp.alias("_fp"))
 
 
