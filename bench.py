@@ -27,6 +27,7 @@ WEB_ROWS = int(os.environ.get("SPARK_GRAFT_WEB_ROWS", "300000"))
 # headline subset of __spark_entry__.queries(): the scale-relevant operators
 HEADLINE = [
     "validate_flagship",
+    "json_ingest",
     "object_error",
     "verdicts_by_lang",
     "profile_documents",
