@@ -440,6 +440,21 @@ def q_orphans_shuffle_hash(spark, sf_dir):
     ).select("event_id", "user_id", "event_type")
 
 
+def q_table_constraints(spark, sf_dir):
+    """Schema-declared unique()/ref() constraints compiled into table-level
+    violation rows by the same plan (the north-star single-schema job)."""
+    df = _t(spark, sf_dir, "documents")
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("lang", s.string().unique())
+        .field("source", s.string())
+        .ref("source", "src_dim", "code")
+    )
+    dim = spark.createDataFrame([(f"src{i}",) for i in range(15)], "code string")
+    return sv.ValidationPlan(obj).table_violations(df, dims={"src_dim": dim})
+
+
 def q_fingerprint_dups(spark, sf_dir):
     """Exact near-dup via normalized-content fingerprint: the planted copy is
     uppercased + padded, so matching proves the normalization pipeline."""
@@ -644,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window": q_dedup_window,
         "orphans_events": q_orphans_events,
         "orphans_shuffle_hash": q_orphans_shuffle_hash,
+        "table_constraints": q_table_constraints,
         "fingerprint_dups": q_fingerprint_dups,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
@@ -956,6 +972,18 @@ WHERE e.user_id IS NOT NULL
   AND NOT EXISTS (
     SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id
   )
+""",
+        "table_constraints": """
+SELECT 'lang' AS field, lang AS key, 'DUPLICATE_KEY' AS code,
+  'Uniqueness violation: ''' || lang || ''' appears ' || count(*) || ' times' AS message
+FROM documents GROUP BY lang HAVING count(*) > 1
+UNION ALL
+SELECT DISTINCT 'source' AS field, source AS key, 'REFERENTIAL_ERROR' AS code,
+  'Referential violation: ''' || source || ''' not found in src_dim' AS message
+FROM documents
+WHERE source IS NOT NULL
+  AND source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7',
+                     'src8','src9','src10','src11','src12','src13','src14')
 """,
         "fingerprint_dups": f"""
 WITH u AS (

@@ -135,6 +135,97 @@ class ValidationPlan:
             "pass", F.col("failed_rows") == 0
         )
 
+    # -- table-level constraints (engine extensions, SURVEY.md §2.B) -----
+    def table_violations(
+        self, df: DataFrame, dims: Optional[dict] = None
+    ) -> DataFrame:
+        """Violation rows for schema-declared TABLE constraints: ``unique()``
+        fields (hash-agg dedup; salted two-phase agg when the field declared
+        a skew salt) and ``ref()`` fields (broadcast / shuffle-hash left-anti
+        against the dimensions supplied in ``dims``).
+
+        Output: (field, key, code, message) — one row per violating key.
+        """
+        from ..operators.referential import orphans
+        from ..operators.uniqueness import duplicate_counts_salted, duplicate_keys
+
+        dims = dims or {}
+        parts = []
+        for name, sch in self.schema.fields.items():
+            if getattr(sch, "unique_constraint", False):
+                if sch.unique_skew_salt:
+                    dups = duplicate_counts_salted(
+                        df, [name], salt_buckets=sch.unique_skew_salt
+                    )
+                else:
+                    dups = duplicate_keys(df, [name])
+                parts.append(
+                    dups.select(
+                        F.lit(name).alias("field"),
+                        F.col(name).cast("string").alias("key"),
+                        F.lit("DUPLICATE_KEY").alias("code"),
+                        F.format_string(
+                            "Uniqueness violation: '%s' appears %s times",
+                            F.col(name).cast("string"),
+                            F.col("dup_count").cast("string"),
+                        ).alias("message"),
+                    )
+                )
+        for name, (dim_name, dim_key, strategy) in self.schema.references.items():
+            if dim_name not in dims:
+                raise ValueError(
+                    f"ref() constraint on {name!r} needs dims[{dim_name!r}]"
+                )
+            o = orphans(df, dims[dim_name], [name], [dim_key], strategy=strategy)
+            parts.append(
+                o.select(F.col(name).cast("string").alias("key"))
+                .distinct()
+                .select(
+                    F.lit(name).alias("field"),
+                    "key",
+                    F.lit("REFERENTIAL_ERROR").alias("code"),
+                    F.format_string(
+                        "Referential violation: '%s' not found in " + dim_name,
+                        F.col("key"),
+                    ).alias("message"),
+                )
+            )
+        if not parts:
+            return df.sparkSession.createDataFrame(
+                [], "field string, key string, code string, message string"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    def run_full(
+        self,
+        df: DataFrame,
+        dims: Optional[dict] = None,
+        partition_cols: Sequence[str] = (),
+        profile_columns: Optional[Sequence[str]] = None,
+    ) -> dict:
+        """The north-star single-schema job: one declared schema → row-level
+        validation + per-partition verdicts + single-pass column profile +
+        table-level uniqueness/referential violations.
+
+        Returns lazily-evaluated DataFrames: {"validated", "verdicts",
+        "profile", "table_violations"} — the caller picks which to
+        materialize; the row-level pieces share one scan via the common
+        ``validated`` plan."""
+        from ..operators.stats import profile as profile_op
+
+        validated = self.apply(df)
+        return {
+            "validated": validated,
+            "verdicts": self.verdicts(validated, partition_cols),
+            "profile": profile_op(
+                df, columns=list(profile_columns or self.schema.fields)
+            ),
+            "table_violations": self.table_violations(df, dims),
+        }
+
     def validate_as(self, df: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
         """Typed extraction — the analog of ``validate_as::<T>`` /
         ``#[derive(Validate)]`` (object.rs:381-392, mapping.rs:45-57): rows

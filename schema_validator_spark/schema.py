@@ -35,6 +35,9 @@ class BaseSchema:
         # transforms attached AFTER .optional() — Option<T> → U semantics
         # (optional.rs:36-47): the callable receives None for NULL inputs.
         self.opt_transforms: list = []
+        # table-level constraints (engine extensions, SURVEY.md §2.B)
+        self.unique_constraint = False
+        self.unique_skew_salt = 0
 
     def set_message(self, code: str, message: str):
         """Override code+message for every error this schema emits
@@ -46,6 +49,16 @@ class BaseSchema:
         """Accept NULL (→ NULL output, no violation); otherwise validate the
         inner schema (optional.rs:65-98, mod.rs:92-97)."""
         self.nullable = True
+        return self
+
+    def unique(self, skew_salt: int = 0):
+        """Table-level uniqueness constraint on this field (engine extension —
+        per-value uniqueness has no meaning in the reference; SURVEY.md §2.B).
+        Compiled by ``ValidationPlan.table_violations`` into a hash-agg dedup;
+        ``skew_salt > 0`` switches to the two-phase salted aggregation for
+        heavy-tail keys (e.g. url hosts)."""
+        self.unique_constraint = True
+        self.unique_skew_salt = skew_salt
         return self
 
 
@@ -269,9 +282,21 @@ class ObjectSchema(BaseSchema):
     def __init__(self):
         super().__init__(coerce=False)
         self.fields: dict[str, BaseSchema] = {}
+        # field → (dim_name, dim_key, strategy): referential constraints
+        # resolved against DataFrames supplied at run time (SURVEY.md §2.B)
+        self.references: dict[str, tuple] = {}
 
     def field(self, name: str, schema: BaseSchema):
         self.fields[name] = schema
+        return self
+
+    def ref(self, field: str, dim_name: str, dim_key: str, strategy: str = "broadcast"):
+        """Declare a referential-integrity constraint: ``field`` must exist in
+        dimension ``dim_name``'s ``dim_key`` column.  The dimension DataFrame
+        itself is supplied to ``ValidationPlan.table_violations(dims=...)`` —
+        schemas stay pure declarations.  ``strategy``: broadcast (no shuffle
+        of the fact side) / shuffle_hash / auto."""
+        self.references[field] = (dim_name, dim_key, strategy)
         return self
 
     def result_type(self):
