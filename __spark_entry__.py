@@ -613,6 +613,41 @@ def q_language_counts(spark, sf_dir):
     )
 
 
+def q_token_totals(spark, sf_dir):
+    """Corpus token accounting per language — the bread-and-butter
+    training-data aggregate (whitespace + BPE-ish counts, one pass)."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(TQ.token_count_whitespace(t).cast("bigint")).alias("tokens_ws"),
+            F.sum(TQ.token_count_bpe_ish(t).cast("bigint")).alias("tokens_bpe"),
+            F.sum(F.octet_length(t).cast("bigint")).alias("bytes"),
+        )
+    )
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The canonical training-data filter pipeline in one job: quality gate →
+    language gate → exact near-dup removal via normalized fingerprint
+    (keep lowest doc_id per fingerprint)."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    scored = df.select(
+        "doc_id",
+        "lang",
+        TQ.quality_score(t).alias("quality"),
+        TQ.language_id(t).alias("lang_pred"),
+        TQ.fingerprint_exact(t).alias("fingerprint"),
+    ).where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    kept = U.dedup_exact(
+        scored, ["fingerprint"], order_by=[F.col("doc_id")], strategy="agg"
+    )
+    return kept.select("doc_id", "lang", "quality", "fingerprint")
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return df.select(
@@ -673,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "text_metrics": q_text_metrics,
         "language_counts": q_language_counts,
+        "token_totals": q_token_totals,
+        "corpus_filter": q_corpus_filter,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "frame_samples": q_frame_samples,
@@ -1116,6 +1153,44 @@ FROM g
 WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL),
 f AS (SELECT text, {s_defs} FROM d)
 SELECT {lang_case} AS lang_pred, count(*) AS n FROM f GROUP BY 1
+""",
+        "token_totals": """
+SELECT lang, count(*) AS docs,
+  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens_ws,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe,
+  CAST(sum(strlen(text)) AS BIGINT) AS bytes
+FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "corpus_filter": f"""
+WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id, lang, text,
+    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+    length(text) AS n_chars,
+    {_lang_pred_sql()[0]}
+  FROM d
+), g AS (
+  SELECT doc_id, lang, text, n_words, s_de, s_en, s_es, s_fr,
+    len(regexp_extract_all(text, '[A-Za-z]')) / greatest(n_words, 1)::DOUBLE AS mean_word_len,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+    {_stopword_sql('text', 'en')} / greatest(n_words, 1)::DOUBLE AS stopword_ratio
+  FROM f
+), scored AS (
+  SELECT doc_id, lang,
+    round(0.4 * least(n_words / 50.0, 1.0)
+      + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * least(stopword_ratio / 0.06, 1.0), 4) AS quality,
+    {_lang_pred_sql()[1]} AS lang_pred,
+    md5({_NORM_TEXT}) AS fingerprint
+  FROM g
+), filtered AS (
+  SELECT doc_id, lang, quality, fingerprint,
+    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+)
+SELECT doc_id, lang, quality, fingerprint FROM filtered WHERE rn = 1
 """,
         "winnow_fingerprint": f"""
 WITH d AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL)
