@@ -121,6 +121,57 @@ def _const_field(name: str, out_ddl: str, code, message) -> CompiledField:
 _TRIM_RE_JVM = f"^{UNICODE_WHITESPACE_CLASS}+|{UNICODE_WHITESPACE_CLASS}+$"
 
 
+def jvm_regex(pattern: str) -> str:
+    """Adapt a pattern for Java-regex evaluation with Rust-regex semantics.
+
+    Rust's ``$`` (and RE2's, hence DuckDB's) anchors at the strict end of the
+    haystack; Java's ``$`` also matches before a FINAL LINE TERMINATOR
+    (\\n, \\r, \\u2028, \\u2029, \\u0085), so ``^\\d+$`` would wrongly accept
+    ``"0\\u2028"`` under ``rlike`` (found by property test).  Rewrite a
+    terminal unescaped ``$`` to ``\\z``; ``$`` elsewhere (rare: alternation
+    branches) is left as-is and documented.  Messages always embed the
+    ORIGINAL pattern string.
+    """
+    if not pattern.endswith("$"):
+        return pattern
+    backslashes = len(pattern) - 1 - len(pattern[:-1].rstrip("\\"))
+    if backslashes % 2 == 1:  # escaped \$ — a literal dollar, keep
+        return pattern
+    return pattern[:-1] + "\\z"
+
+
+def rust_f64_to_string(col: Column) -> Column:
+    """Rust ``format!("{:.0}", x)`` parity (string.rs:692): round-half-even at
+    the decimal point, no decimal point in the output, ``NaN``/``inf``/
+    ``-inf`` spelled the Rust way.
+
+    Exactness: |x| < 2^52 → bround (HALF_EVEN) + ``%.0f`` (both exact in that
+    range); integral 2^52 ≤ |x| < 2^63 → cast through long (exact decimal
+    digits — ``bround``'s BigDecimal.valueOf path uses the double's
+    shortest-repr and mangles the low digits here, found by property test).
+    |x| ≥ 2^63 would need arbitrary-precision expansion (Rust prints all ~300
+    digits); out of supported range for a validation engine — documented.
+    """
+    two52 = 4503599627370496.0
+    two63 = 9.223372036854775e18
+    # sign handled separately: BigDecimal drops -0.0's sign, but Rust prints
+    # "-0" for any negative value rounding to zero (e.g. -0.3, -0.0)
+    # -0.0 detection without division (ANSI mode): Java %f preserves the sign
+    negative = (col < 0) | (
+        (col == 0.0) & F.format_string("%.1f", col).startswith("-")
+    )
+    sign = F.when(negative, F.lit("-")).otherwise(F.lit(""))
+    small = F.concat(sign, F.format_string("%.0f", F.bround(F.abs(col), 0)))
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col == float("inf"), F.lit("inf"))
+        .when(col == float("-inf"), F.lit("-inf"))
+        .when(F.abs(col) < two52, small)
+        .when(F.abs(col) < two63, col.cast("long").cast("string"))
+        .otherwise(F.format_string("%.0f", col))  # best-effort beyond 2^63
+    )
+
+
 def _apply_native_transform(s: Column, t: Transform) -> Column:
     if t.name == "trim":
         # Rust str::trim trims the Unicode White_Space set; F.trim is
@@ -194,9 +245,7 @@ def _compile_string(
     elif sch.coerce and tn == "Integer":
         s = col.cast("string")
     elif sch.coerce and tn == "Float":
-        # Rust format!("{:.0}") — no decimal point, round-half-even.  bround is
-        # HALF_EVEN; %.0f of the already-rounded double never hits a tie.
-        s = F.format_string("%.0f", F.bround(col, 0))
+        s = rust_f64_to_string(col)
     elif sch.coerce and tn == "Boolean":
         s = F.when(col, F.lit("true")).otherwise(F.lit("false"))
     else:
@@ -219,7 +268,7 @@ def _compile_string(
                     F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(sch.pattern_regex), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
     else:
         blen = F.octet_length(s)  # Rust String::len is BYTES
         if sch.min_len is not None:
@@ -254,7 +303,7 @@ def _compile_string(
                     F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(sch.pattern_regex), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
 
     return _finish(name, col, s, checks, sch, out_ddl)
 

@@ -36,6 +36,7 @@ from .. import errors as E
 from ..errors import ErrorConfig
 from ..plans.compile import (
     VIOLATION_DDL,
+    jvm_regex,
     _apply_transforms,
     _null_viol,
     _override,
@@ -110,9 +111,11 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
 
     # type / coerce stage (string.rs:705-717, 684-698) on the DYNAMIC type
     if sch.coerce:
+        from .compile import rust_f64_to_string
+
         s = (
             F.when(rt == "String", s_str)
-            .when(rt == "Float", F.format_string("%.0f", F.bround(s_dbl, 0)))
+            .when(rt == "Float", rust_f64_to_string(s_dbl))
             .when(rt == "Boolean", F.when(s_bool, "true").otherwise("false"))
         )
         bad_type = rt == "Unknown"
@@ -137,7 +140,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
                     s, F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(sch.pattern_regex), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
     else:
         blen = F.octet_length(s)
         if sch.min_len is not None:
@@ -166,7 +169,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
                     s, F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(sch.pattern_regex), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
 
     return _finish_json(name, sch, present, rt, s, checks, out_ddl, missing_cfg)
 

@@ -1,0 +1,130 @@
+"""Property-based parity: random unicode inputs through the compiled JVM plan
+must match a pure-Python model of the reference semantics (string.rs:704-759).
+
+Each hypothesis example validates a whole batch as ONE DataFrame (per-example
+Spark jobs would be prohibitively slow), so the strategy generates lists.
+deadline=None: Spark job latency is irrelevant to the property.
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationPlan, schema
+from schema_validator_spark.functions.patterns import EMAIL, USERNAME
+from schema_validator_spark.plans.compile import _PY_WS
+
+# printable-ish unicode incl. whitespace edge cases the trim parity cares
+# about (NBSP, ideographic space, line sep) and \x1c-\x1f (Python isspace
+# but NOT Unicode White_Space — a known Python-vs-Rust trim divergence)
+_ALPHABET = st.sampled_from(
+    list("abXY09._%+-@ \t\n 　  ") + ["\x1c", "é", "ß", "中"]
+)
+_TEXTS = st.lists(st.text(_ALPHABET, max_size=24), min_size=1, max_size=60)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+def _rust_search(pattern, s):
+    """Rust-regex semantics in Python re: Rust's `$` is strict end-of-haystack
+    (Python's allows a final \\n) — mirror compile.jvm_regex's rewrite."""
+    if pattern.endswith("$") and not pattern.endswith(r"\$"):
+        pattern = pattern[:-1] + r"\Z"
+    return re.search(pattern, s)
+
+
+def _expected_plain(s, min_len, max_len, pattern):
+    """Reference StringSchema.validate: type → min → max → pattern,
+    byte lengths (string.rs:704-759)."""
+    if s is None:
+        return "MISSING_FIELD"
+    b = len(s.encode("utf-8"))
+    if min_len is not None and b < min_len:
+        return "MIN_LENGTH_ERROR"
+    if max_len is not None and b > max_len:
+        return "MAX_LENGTH_ERROR"
+    if pattern is not None and not _rust_search(pattern, s):
+        return "PATTERN_ERROR"
+    return None
+
+
+def _run_codes(spark, values, sch):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v string")
+    s = schema()
+    plan = ValidationPlan(s.object().field("v", sch))
+    out = plan.apply(df).select(
+        "i", "v", F.try_element_at("violations", F.lit(1))["code"].alias("code")
+    )
+    return {r["i"]: (r["v"], r["code"]) for r in out.collect()}
+
+
+@given(_TEXTS)
+@settings(**_SETTINGS)
+def test_plain_string_checks_match_reference_model(spark, values):
+    s = schema()
+    sch = s.string().min_length(2).max_length(12).pattern(r"^[a-zA-Z0-9._%+-]+$")
+    got = _run_codes(spark, values, sch)
+    for i, v in enumerate(values):
+        exp = _expected_plain(v, 2, 12, r"^[a-zA-Z0-9._%+-]+$")
+        code = got[i][1]
+        assert code == exp, f"{v!r}: spark={code} expected={exp}"
+
+
+@given(_TEXTS)
+@settings(**_SETTINGS)
+def test_trim_lower_parity_jvm_vs_python(spark, values):
+    """The JVM regexp-trim must agree with the reference model
+    (Unicode White_Space, NOT Python str.strip()'s wider isspace set)."""
+    s = schema()
+    sch = s.string().trim().to_lowercase()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v string")
+    plan = ValidationPlan(s.object().field("v", sch))
+    got = {r["i"]: r["v"] for r in plan.apply(df).select("i", "v").collect()}
+    for i, v in enumerate(values):
+        assert got[i] == v.strip(_PY_WS).lower(), f"{v!r}"
+
+
+@given(_TEXTS)
+@settings(**_SETTINGS)
+def test_builtin_patterns_dialect_neutral(spark, values):
+    """EMAIL/USERNAME built-ins evaluate identically under Java regex (rlike)
+    and Python re across arbitrary input."""
+    s = schema()
+    got = _run_codes(spark, values, s.string().email())
+    for i, v in enumerate(values):
+        exp = "INVALID_EMAIL" if not _rust_search(EMAIL, v) else None
+        assert got[i][1] == exp, f"email {v!r}"
+    got = _run_codes(spark, values, s.string().username())
+    for i, v in enumerate(values):
+        exp = "INVALID_USERNAME" if not _rust_search(USERNAME, v) else None
+        assert got[i][1] == exp, f"username {v!r}"
+
+
+@given(st.lists(
+    st.one_of(
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-9.2e18, max_value=9.2e18),
+        st.integers(min_value=-2**53, max_value=2**53).map(float),
+        st.sampled_from([float("inf"), float("-inf"), 2.5, 3.5, -0.3,
+                         2.8823037615171174e17]),
+    ),
+    min_size=1, max_size=60,
+))
+@settings(**_SETTINGS)
+def test_coerce_float_to_string_matches_rust_format(spark, values):
+    """coerce f64→string is Rust format!("{:.0}"): round-half-even, no
+    decimal point, inf spelled "inf" (string.rs:692).  Exactness guaranteed
+    for |x| < 2^63 (see compile.rust_f64_to_string)."""
+    s = schema().coerce()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v double")
+    plan = ValidationPlan(s.object().field("v", s.string()))
+    got = {r["i"]: r["v"] for r in plan.apply(df).select("i", "v").collect()}
+    for i, v in enumerate(values):
+        expected = f"{v:.0f}"
+        assert got[i] == expected, f"{v!r}: spark={got[i]!r} py={expected!r}"
