@@ -9,6 +9,7 @@ drift, dedup, similarity) the reference's single-value model cannot express.
 """
 
 from .errors import ErrorConfig
+from .plans.json import validate_json_objects
 from .plans.runner import ValidationPlan, validate_column
 from .schema import (
     BooleanSchema,
@@ -31,6 +32,7 @@ __all__ = [
     "ErrorConfig",
     "ValidationPlan",
     "validate_column",
+    "validate_json_objects",
 ]
 
 __version__ = "0.1.0"
