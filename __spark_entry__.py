@@ -472,6 +472,28 @@ def q_fingerprint_dups(spark, sf_dir):
     )
 
 
+def q_windowed_events(spark, sf_dir):
+    """Tumbling event-time windows over the events stream table (batch form
+    of the streaming windowed-verdict aggregation; F.window ≡ time_bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     baseline = docs.where(F.col("doc_id") < 250)
@@ -696,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphans_shuffle_hash": q_orphans_shuffle_hash,
         "table_constraints": q_table_constraints,
         "fingerprint_dups": q_fingerprint_dups,
+        "windowed_events": q_windowed_events,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         # training-data operators
@@ -1030,6 +1053,13 @@ WITH u AS (
 )
 SELECT md5({_NORM_TEXT}) AS fingerprint, count(*) AS dup_count
 FROM u GROUP BY 1 HAVING count(*) > 1
+""",
+        "windowed_events": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  event_type,
+  count(*) AS n,
+  round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
 """,
         "psi_drift": """
 WITH b AS (
