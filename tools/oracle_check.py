@@ -36,6 +36,31 @@ def _norm(v):
     return repr(v)
 
 
+_SPARK_TYPE_CLASS = [
+    ("bigint", "int"), ("int", "int"), ("smallint", "int"), ("tinyint", "int"),
+    ("double", "float"), ("float", "float"), ("decimal", "float"),
+    ("string", "str"), ("boolean", "bool"), ("timestamp", "ts"),
+    ("date", "ts"), ("array", "array"), ("binary", "bytes"),
+]
+_DUCK_TYPE_CLASS = [
+    ("BIGINT", "int"), ("INTEGER", "int"), ("HUGEINT", "int"), ("UBIGINT", "int"),
+    ("SMALLINT", "int"), ("TINYINT", "int"),
+    ("DOUBLE", "float"), ("FLOAT", "float"), ("DECIMAL", "float"), ("NUMBER", "float"),
+    ("VARCHAR", "str"), ("STRING", "str"), ("BOOLEAN", "bool"), ("bool", "bool"),
+    ("TIMESTAMP", "ts"), ("DATETIME", "ts"), ("DATE", "ts"),
+    ("list", "array"), ("[]", "array"), ("BLOB", "bytes"),
+]
+
+
+def _type_class(name, table):
+    if name.endswith("[]") or name.startswith("array") or name.startswith("list"):
+        return "array"
+    for prefix, cls in table:
+        if name.startswith(prefix) or name.endswith(prefix):
+            return cls
+    return name
+
+
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -90,6 +115,20 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            # normalized dtype comparison (the driver checks schema too):
+            # int-class vs float-class vs str etc. must line up per column
+            stypes = {n: _type_class(t, _SPARK_TYPE_CLASS) for n, t in sdf.dtypes}
+            # DB-API description collapses numerics; DESCRIBE gives real types
+            desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            dtypes_ = {
+                r[0]: _type_class(str(r[1]), _DUCK_TYPE_CLASS) for r in desc
+            }
+            for cname in scols:
+                if stypes.get(cname) != dtypes_.get(cname):
+                    problems.append(
+                        f"dtype[{cname}] spark={stypes.get(cname)} duck={dtypes_.get(cname)}"
+                    )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
