@@ -505,6 +505,17 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_ks_exact(spark, sf_dir):
+    """Exact two-sample KS over the merged ECDF grid (the sketch-based
+    ks_statistic is the 100 TB path; this exact variant is oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DR.ks_exact(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        "n_chars",
+    )
+
+
 def q_ks_drift(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     value = DR.ks_statistic(
@@ -720,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "windowed_events": q_windowed_events,
         "psi_drift": q_psi_drift,
+        "ks_exact": q_ks_exact,
         "ks_drift": q_ks_drift,
         # training-data operators
         "minhash_near_dups": q_minhash_near_dups,
@@ -1080,6 +1092,19 @@ probs AS (
   FROM grid g LEFT JOIN bh ON g.bucket = bh.bucket LEFT JOIN ch ON g.bucket = ch.bucket
 ), agg AS (SELECT sum((p - q) * ln(p / q)) AS psi_raw FROM probs)
 SELECT 'n_chars' AS col_name, round(psi_raw, 4) AS psi, psi_raw > 0.25 AS drifted FROM agg
+""",
+        "ks_exact": """
+WITH b AS (SELECT n_chars AS v FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL),
+c AS (SELECT n_chars AS v FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL),
+u AS (SELECT v, 1 AS is_b FROM b UNION ALL SELECT v, 0 FROM c),
+g AS (SELECT v, sum(is_b) AS c1, sum(1 - is_b) AS c2 FROM u GROUP BY v),
+s AS (
+  SELECT
+    sum(c1) OVER (ORDER BY v) / (SELECT count(*) FROM b)::DOUBLE AS e1,
+    sum(c2) OVER (ORDER BY v) / (SELECT count(*) FROM c)::DOUBLE AS e2
+  FROM g
+)
+SELECT 'n_chars' AS col_name, round(max(abs(e1 - e2)), 6) AS ks FROM s
 """,
         "minhash_near_dups": f"""
 WITH {_SHINGLE_CTE},

@@ -78,6 +78,45 @@ def ks_statistic(
     return max(abs(ecdf(qa, x) - ecdf(qb, x)) for x in grid) if grid else 0.0
 
 
+def ks_exact(
+    baseline: DataFrame, current: DataFrame, column: str
+) -> DataFrame:
+    """EXACT two-sample KS statistic: max |ECDF_b − ECDF_c| over the merged
+    value grid, as a 1-row DataFrame (col_name, ks).
+
+    Shape: per-side value counts (hash agg, map-side combined) → one global
+    cumulative window over the DISTINCT values.  The single-partition sort
+    touches only distinct values, not rows — fine up to millions of distinct
+    values; beyond that use ``ks_statistic`` (quantile sketches), the scale
+    path."""
+    from pyspark.sql import Window
+
+    b = (
+        baseline.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    c = (
+        current.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    g = b.join(c, "v", "full_outer").select(
+        "v",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = g.select(
+        (F.sum("c1").over(w) / F.sum("c1").over(whole)).alias("e1"),
+        (F.sum("c2").over(w) / F.sum("c2").over(whole)).alias("e2"),
+    )
+    return s.agg(
+        F.round(F.max(F.abs(F.col("e1") - F.col("e2"))), 6).alias("ks")
+    ).select(F.lit(column).alias("col_name"), "ks")
+
+
 def drift_report(
     baseline: DataFrame,
     current: DataFrame,

@@ -98,3 +98,15 @@ def test_drift_psi_and_ks(spark):
     assert drift.ks_statistic(a, b, "v") > 0.3
     rep = drift.drift_report(a, b, "v", 0, 150, 15)
     assert rep["drifted"] is True
+
+
+def test_ks_exact_manual(spark):
+    from schema_validator_spark.operators.drift import ks_exact
+
+    b = spark.createDataFrame([(v,) for v in [1, 1, 2, 3]], "x long")
+    c = spark.createDataFrame([(v,) for v in [2, 3, 3, 4]], "x long")
+    # ECDFs: b: 1→.5, 2→.75, 3→1.0, 4→1.0 ; c: 1→0, 2→.25, 3→.75, 4→1.0
+    # max diff at v=1: 0.5
+    row = ks_exact(b, c, "x").collect()[0]
+    assert row["col_name"] == "x"
+    assert abs(row["ks"] - 0.5) < 1e-9
