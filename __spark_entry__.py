@@ -563,6 +563,13 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs: every doc
+    labelled with the smallest doc_id in its near-dup group."""
+    pairs = q_minhash_near_dups(spark, sf_dir).select("id_a", "id_b")
+    return D.near_dup_clusters(pairs)
+
+
 def q_simhash_near_dups(spark, sf_dir):
     return D.simhash_near_duplicates(
         _planted_text_union(spark, sf_dir), "doc_id", max_hamming=3
@@ -735,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         # training-data operators
         "minhash_near_dups": q_minhash_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
@@ -1128,6 +1136,37 @@ SELECT id_a, id_b,
   len([i FOR i IN generate_series(1, 32) IF sa[i] = sb[i]]) / 32.0 AS est_jaccard
 FROM pairs
 WHERE len([i FOR i IN generate_series(1, 32) IF sa[i] = sb[i]]) / 32.0 >= 0.5
+""",
+        "near_dup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (
+  SELECT _id,
+    [list_aggregate(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)), 'min')
+     FOR h IN generate_series(0, 31)] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT _id, sig, b.b AS band,
+    md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.sig AS sa, r.sig AS sb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l._id < r._id
+),
+mh AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len([i FOR i IN generate_series(1, 32) IF sa[i] = sb[i]]) / 32.0 >= 0.5
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM mh UNION ALL SELECT id_b, id_a FROM mh),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
+)
+SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

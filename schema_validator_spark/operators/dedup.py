@@ -352,6 +352,54 @@ def simhash_near_duplicates(
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+# -- near-dup clustering -------------------------------------------------------
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs via min-label
+    propagation: every node ends up labelled with the smallest id in its
+    component.  Output: (id, cluster_id) — keep e.g. ``id == cluster_id`` (or
+    min quality per cluster) to deduplicate a corpus group-wise.
+
+    Scale shape: one join + hash agg per iteration; iterations needed = graph
+    diameter, and near-dup components are tiny chains (2-5 nodes), so this
+    converges in a handful of rounds.  ``localCheckpoint`` cuts the growing
+    lineage each round (the classic iterative-algorithm requirement)."""
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 # -- embedding cosine near-dup ---------------------------------------------------
 
 def embedding_near_duplicates(

@@ -204,3 +204,14 @@ def test_quality_score_bounds(spark, sf_dir):
         textquality.quality_score(F.col("text")).alias("q")
     ).agg(F.min("q"), F.max("q")).collect()[0]
     assert 0.0 <= mm[0] <= mm[1] <= 1.0
+
+
+def test_near_dup_clusters(spark):
+    from schema_validator_spark.operators.dedup import near_dup_clusters
+
+    # components: {1,2,3,4} (chain), {7,9}, {5} absent (no edges -> not listed)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
