@@ -455,6 +455,82 @@ def q_table_constraints(spark, sf_dir):
     return sv.ValidationPlan(obj).table_violations(df, dims={"src_dim": dim})
 
 
+def q_object_transform(spark, sf_dir):
+    """Object-level transform (TransformedObjectSchema, reference
+    object.rs:189-199, 319-332): validate the whole object, then map the
+    validated field map to a single value.  Column mode — the mapping is a
+    native expression fused into the validation projection (zero Python)."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("lang", s.string().pattern(r"^[a-z]{2}$"))
+        .field("source", s.string().username())
+        .field("n_chars", s.number().optional())
+        .transform(
+            lambda c: F.concat(
+                c["source"],
+                F.lit("@"),
+                c["lang"],
+                F.lit("#"),
+                F.coalesce(c["n_chars"].cast("bigint").cast("string"), F.lit("?")),
+            ),
+            return_type="string",
+            mode="column",
+        )
+    )
+    return sv.ValidationPlan(obj).validate_transformed(df, keys=["doc_id"])
+
+
+def q_run_full(spark, sf_dir):
+    """The north-star single-schema job end-to-end: ONE declared schema →
+    row-level validation + per-lang verdicts + single-pass profile +
+    schema-declared unique()/ref() table violations, materialized as one tall
+    (section, key, total_rows, passed_rows, failed_rows) frame."""
+    df = _t(spark, sf_dir, "documents")
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("text", s.string().min_length(100))
+        .field("lang", s.string().pattern(r"^[a-z]{2}$").unique())
+        .field("source", s.string().username())
+        .ref("source", "src_dim", "code")
+    )
+    dim = spark.createDataFrame([(f"src{i}",) for i in range(15)], "code string")
+    out = sv.ValidationPlan(obj).run_full(
+        df, dims={"src_dim": dim}, partition_cols=["lang"], profile_columns=["n_chars"]
+    )
+    verdicts = out["verdicts"].select(
+        F.lit("verdict").alias("section"),
+        F.col("lang").alias("key"),
+        F.col("total_rows"),
+        F.col("passed_rows"),
+        F.col("failed_rows"),
+    )
+    table = (
+        out["table_violations"]
+        .groupBy("field")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("table").alias("section"),
+            F.col("field").alias("key"),
+            F.col("n").alias("total_rows"),
+            F.lit(0).cast("bigint").alias("passed_rows"),
+            F.col("n").alias("failed_rows"),
+        )
+    )
+    prof = out["profile"].select(
+        F.lit("profile").alias("section"),
+        F.lit("n_chars").alias("key"),
+        F.col("row_count").alias("total_rows"),
+        F.col("n_chars_count").alias("passed_rows"),
+        F.col("n_chars_nulls").alias("failed_rows"),
+    )
+    return verdicts.unionAll(table).unionAll(prof)
+
+
 def q_fingerprint_dups(spark, sf_dir):
     """Exact near-dup via normalized-content fingerprint: the planted copy is
     uppercased + padded, so matching proves the normalization pipeline."""
@@ -698,7 +774,16 @@ def q_winnow_fingerprint(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = MM.media_table_from_text(docs, "doc_id")
-    return MM.extract_features(media, fake=True)
+    feats = MM.extract_features(media, fake=True)
+    # Driver canonicalizer can't sort array-valued columns — flatten the
+    # 4-dim stub feature to scalar columns for the oracle comparison.
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_hash",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(4)],
+    )
 
 
 def q_frame_samples(spark, sf_dir):
@@ -735,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphans_events": q_orphans_events,
         "orphans_shuffle_hash": q_orphans_shuffle_hash,
         "table_constraints": q_table_constraints,
+        "object_transform": q_object_transform,
+        "run_full": q_run_full,
         "fingerprint_dups": q_fingerprint_dups,
         "windowed_events": q_windowed_events,
         "psi_drift": q_psi_drift,
@@ -974,8 +1061,8 @@ WHERE v1 IS NULL AND v2 IS NULL AND v3 IS NULL
 WITH v AS ({_FLAGSHIP_VIOL_SQL})
 SELECT lang,
   count(*) AS total_rows,
-  sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 1 ELSE 0 END) AS passed_rows,
-  sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 0 ELSE 1 END) AS failed_rows,
+  CAST(sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS passed_rows,
+  CAST(sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS failed_rows,
   (sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 0 ELSE 1 END) = 0) AS all_passed
 FROM v JOIN documents USING (doc_id)
 GROUP BY lang
@@ -984,14 +1071,14 @@ GROUP BY lang
 SELECT lang,
   count(*) AS row_count,
   count(n_chars) AS n_chars_count,
-  sum((n_chars IS NULL)::BIGINT) AS n_chars_nulls,
+  CAST(sum((n_chars IS NULL)::BIGINT) AS BIGINT) AS n_chars_nulls,
   round(sum((n_chars IS NULL)::BIGINT) / count(*)::DOUBLE, 6) AS n_chars_null_rate,
   min(n_chars) AS n_chars_min,
   max(n_chars) AS n_chars_max,
   count(DISTINCT n_chars) AS n_chars_distinct,
   round(avg(n_chars), 6) AS n_chars_mean,
   count(text) AS text_count,
-  sum((text IS NULL)::BIGINT) AS text_nulls,
+  CAST(sum((text IS NULL)::BIGINT) AS BIGINT) AS text_nulls,
   count(DISTINCT text) AS text_distinct
 FROM documents GROUP BY lang
 """,
@@ -999,7 +1086,7 @@ FROM documents GROUP BY lang
 SELECT event_type,
   count(*) AS row_count,
   count(value) AS value_count,
-  sum((value IS NULL)::BIGINT) AS value_nulls,
+  CAST(sum((value IS NULL)::BIGINT) AS BIGINT) AS value_nulls,
   min(value) AS value_min,
   max(value) AS value_max,
   count(DISTINCT value) AS value_distinct,
@@ -1064,6 +1151,41 @@ FROM documents
 WHERE source IS NOT NULL
   AND source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7',
                      'src8','src9','src10','src11','src12','src13','src14')
+""",
+        "object_transform": """
+SELECT doc_id,
+  source || '@' || lang || '#' || coalesce(CAST(CAST(CAST(n_chars AS DOUBLE) AS BIGINT) AS VARCHAR), '?') AS transformed
+FROM documents
+WHERE lang IS NOT NULL AND regexp_matches(lang, '^[a-z]{2}$')
+  AND source IS NOT NULL AND regexp_matches(source, '^[a-zA-Z0-9_-]{3,16}$')
+""",
+        "run_full": f"""
+WITH v AS ({_FLAGSHIP_VIOL_SQL})
+SELECT 'verdict' AS section, lang AS key,
+  count(*) AS total_rows,
+  CAST(sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS passed_rows,
+  CAST(sum(CASE WHEN v1 IS NULL AND v2 IS NULL AND v3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS failed_rows
+FROM v JOIN documents USING (doc_id)
+GROUP BY lang
+UNION ALL
+SELECT 'table' AS section, field AS key,
+  count(*) AS total_rows, CAST(0 AS BIGINT) AS passed_rows, count(*) AS failed_rows
+FROM (
+  SELECT 'lang' AS field, lang AS key
+  FROM documents GROUP BY lang HAVING count(*) > 1
+  UNION ALL
+  SELECT DISTINCT 'source' AS field, source AS key
+  FROM documents
+  WHERE source IS NOT NULL
+    AND source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7',
+                       'src8','src9','src10','src11','src12','src13','src14')
+) tv GROUP BY field
+UNION ALL
+SELECT 'profile' AS section, 'n_chars' AS key,
+  count(*) AS total_rows,
+  count(n_chars) AS passed_rows,
+  CAST(sum((n_chars IS NULL)::BIGINT) AS BIGINT) AS failed_rows
+FROM documents
 """,
         "fingerprint_dups": f"""
 WITH u AS (
@@ -1300,11 +1422,10 @@ SELECT doc_id AS media_id,
   'image/fake' AS media_type,
   octet_length(encode(t)) AS n_bytes,
   h AS content_hash,
-  [((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0,
-   ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0,
-   ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0,
-   ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0
-  ] AS feature
+  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0 AS f0,
+  ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0 AS f1,
+  ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0 AS f2,
+  ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0 AS f3
 FROM d
 """,
         "frame_samples": """

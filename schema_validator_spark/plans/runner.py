@@ -68,9 +68,11 @@ class ValidationPlan:
         # the scaling-bench hot path — let Catalyst prune the violation
         # structs and the higher-order filter entirely, keeping the whole
         # projection in whole-stage codegen.  Equivalence with
-        # size(violations)==0 is asserted in tests.
-        valid = fields[0].passes
-        for f in fields[1:]:
+        # size(violations)==0 is asserted in tests.  Start from lit(True) so
+        # a zero-field object schema validates every row (the reference's
+        # empty ObjectSchema accepts any map).
+        valid = F.lit(True)
+        for f in fields:
             valid = valid & f.passes
         cols.append(valid.alias(VALID_COL))
         return df.select(*cols)
@@ -243,6 +245,32 @@ class ValidationPlan:
             *[F.col(k) for k in keys], *field_cols
         )
 
+    def validate_transformed(self, df: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+        """``TransformedObjectSchema::validate`` analog (object.rs:319-332):
+        validate the object, then map the validated field map through the
+        schema's object-level ``transform``.  Rows with any violation are
+        dropped (the reference returns ``Err`` for the whole object before the
+        transform ever runs).
+
+        Output: ``keys`` passthrough + one ``transformed`` column typed per
+        the transform's declared ``return_type``.  Execution shape is chosen
+        by ``ObjectSchema.transform(mode=...)`` — see schema.py.
+        """
+        obj_t = self.schema.obj_transform
+        if obj_t is None:
+            raise ValueError("object schema has no transform(); see ObjectSchema.transform")
+        names = list(self.schema.fields)
+        validated = self.apply(df).where(F.col(VALID_COL))
+        mode = self.schema.obj_transform_mode
+        rtype = obj_t.return_type
+        if mode == "column":
+            out = obj_t.fn({n: F.col(n) for n in names}).cast(rtype)
+        else:
+            out = _object_transform_udf(obj_t.fn, rtype, mode)(
+                F.struct(*[F.col(n) for n in names])
+            )
+        return validated.select(*[F.col(k) for k in keys], out.alias("transformed"))
+
     def run_with_metrics(
         self, df: DataFrame
     ) -> tuple[DataFrame, Observation]:
@@ -258,6 +286,51 @@ class ValidationPlan:
             F.sum(F.size(F.col(VIOLATIONS_COL))).alias("violation_count"),
         )
         return observed, obs
+
+
+def _object_transform_udf(fn, return_type: str, mode: str):
+    """Build the Arrow-batched pandas UDF for object-level transforms.
+
+    A scalar pandas UDF over a struct column receives each batch as a
+    ``pd.DataFrame`` whose columns are the validated fields — the vectorized
+    mirror of the reference's ``HashMap<String, Box<dyn Any>>`` input.
+    ``mode='row'`` adapts the reference's per-map closure shape: NaN/NaT are
+    scrubbed back to None (Option semantics for nullable fields,
+    optional.rs:36-47) and dict results become struct rows.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    struct_out = return_type.strip().lower().startswith("struct")
+
+    if mode == "pandas":
+        body = fn
+    else:
+
+        def body(pdf):
+            recs = pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+            vals = [fn(r) for r in recs]
+            if struct_out:
+                if not vals:  # keep the declared struct columns on empty batches
+                    from pyspark.sql.types import _parse_datatype_string
+
+                    fields = _parse_datatype_string(return_type).fields
+                    return pd.DataFrame({f.name: [] for f in fields})
+                return pd.DataFrame(vals)
+            return pd.Series(vals)
+
+    # Type-hint inference rejects the DataFrame→DataFrame shape a
+    # struct-in/struct-out scalar UDF needs — pass the eval type explicitly.
+    import warnings
+
+    from pyspark.sql.functions import PandasUDFType
+
+    def _udf_fn(pdf):
+        return body(pdf)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        return pandas_udf(_udf_fn, return_type, PandasUDFType.SCALAR)
 
 
 def validate_column(

@@ -285,9 +285,37 @@ class ObjectSchema(BaseSchema):
         # field → (dim_name, dim_key, strategy): referential constraints
         # resolved against DataFrames supplied at run time (SURVEY.md §2.B)
         self.references: dict[str, tuple] = {}
+        # object-level post-validation transform (TransformedObjectSchema,
+        # object.rs:189-199, 319-332): HashMap<String, Box<dyn Any>> -> T
+        self.obj_transform: Optional[Transform] = None
+        self.obj_transform_mode: str = "row"
 
     def field(self, name: str, schema: BaseSchema):
         self.fields[name] = schema
+        return self
+
+    def transform(self, fn: Callable, return_type: str = "string", mode: str = "row"):
+        """Object-level transform — the analog of ``TransformedObjectSchema``
+        (object.rs:189-199, 319-332; doc example object.rs:176-188): after the
+        whole object validates, map the validated field map to a value ``T``.
+
+        ``mode`` picks the execution shape (``plans.runner.validate_transformed``):
+
+        - ``"column"`` — ``fn(fields: dict[str, Column]) -> Column``: a native
+          struct/expression projection fused into the validation select
+          (whole-stage codegen, zero Python) — preferred when the mapping is
+          expressible as Spark expressions.
+        - ``"pandas"`` — ``fn(pd.DataFrame) -> pd.Series | pd.DataFrame``:
+          Arrow-vectorized over batches of validated rows.
+        - ``"row"`` — ``fn(dict) -> value``: the literal reference shape
+          (closure over one HashMap); executed inside an Arrow-batched pandas
+          UDF, per-row Python confined to the user's own callable exactly as
+          in the reference.
+        """
+        if mode not in ("row", "pandas", "column"):
+            raise ValueError(f"unknown object transform mode {mode!r}")
+        self.obj_transform = Transform("custom", fn, return_type)
+        self.obj_transform_mode = mode
         return self
 
     def ref(self, field: str, dim_name: str, dim_key: str, strategy: str = "broadcast"):

@@ -253,3 +253,103 @@ def test_optional_with_transform(spark):
     assert_ok(r[0], True)
     assert_ok(r[1], False)
     assert_ok(r[2], None)
+
+
+# -- object-level transform (TransformedObjectSchema, object.rs:189-199, 319-332)
+
+
+def test_object_transform_row_mode(spark):
+    # doc example object.rs:176-188: map validated fields to a User struct
+    s = schema()
+    obj = (
+        s.object()
+        .field("name", s.string())
+        .field("age", s.number())
+        .transform(
+            lambda fields: {"name": fields["name"], "age": fields["age"]},
+            return_type="struct<name:string,age:double>",
+            mode="row",
+        )
+    )
+    df = spark.createDataFrame(
+        [("John", 30.0), (None, 25.0)], "name string, age double"
+    )
+    rows = ValidationPlan(obj).validate_transformed(df).collect()
+    # failing row (missing name) is dropped — reference returns Err before
+    # the transform runs (object.rs:328-330)
+    assert len(rows) == 1
+    assert rows[0]["transformed"]["name"] == "John"
+    assert rows[0]["transformed"]["age"] == 30.0
+
+
+def test_object_transform_scalar_and_optional_none(spark):
+    # optional fields arrive as None in the map (Option semantics)
+    s = schema()
+    seen = []
+    obj = (
+        s.object()
+        .field("name", s.string())
+        .field("age", s.number().optional())
+        .transform(
+            lambda f: f"{f['name']}:{'?' if f['age'] is None else int(f['age'])}",
+            return_type="string",
+            mode="row",
+        )
+    )
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "name string, age double"
+    )
+    got = {
+        r["transformed"]
+        for r in ValidationPlan(obj).validate_transformed(df).collect()
+    }
+    assert got == {"a:1", "b:?"}
+
+
+def test_object_transform_column_mode(spark):
+    # native-expression path: fn(dict[str, Column]) -> Column, zero Python
+    from pyspark.sql import functions as F
+
+    s = schema()
+    obj = (
+        s.object()
+        .field("name", s.string().min_length(2))
+        .field("age", s.number())
+        .transform(
+            lambda c: F.concat_ws("|", c["name"], c["age"].cast("bigint")),
+            return_type="string",
+            mode="column",
+        )
+    )
+    df = spark.createDataFrame(
+        [("John", 30.0), ("J", 9.0)], "name string, age double"
+    )
+    rows = ValidationPlan(obj).validate_transformed(df, keys=["name"]).collect()
+    assert len(rows) == 1  # "J" fails min_length → dropped
+    assert rows[0]["transformed"] == "John|30"
+
+
+def test_object_transform_pandas_mode(spark):
+    s = schema()
+    obj = (
+        s.object()
+        .field("name", s.string())
+        .transform(
+            lambda pdf: pdf["name"].str.upper(), return_type="string", mode="pandas"
+        )
+    )
+    df = spark.createDataFrame([("john",), ("amy",)], "name string")
+    got = {
+        r["transformed"]
+        for r in ValidationPlan(obj).validate_transformed(df).collect()
+    }
+    assert got == {"JOHN", "AMY"}
+
+
+def test_empty_object_schema_accepts_all(spark):
+    # zero-field ObjectSchema validates any row (valid folds from lit(True))
+    s = schema()
+    rows = ValidationPlan(s.object()).apply(
+        spark.createDataFrame([("x",)], "c string")
+    ).collect()
+    assert rows[0]["valid"] and rows[0]["violations"] == []

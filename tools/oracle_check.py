@@ -4,6 +4,12 @@ Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()`` entry
 exists, the same query in DuckDB over the same parquet tables; compares row
 count, sorted column names, and (order-insensitively) the values themselves.
 
+Both sides are canonicalized THROUGH PANDAS (``toPandas()`` / ``.df()``),
+mirroring the driver's canonicalizer: DuckDB HUGEINT materializes as float64
+(``21.0`` vs Spark's ``21`` — a value mismatch the old ``fetchall()`` path
+silently converted to int), and list-valued cells break the driver's
+``sort_values`` — both classes are caught here now.
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
@@ -43,7 +49,10 @@ _SPARK_TYPE_CLASS = [
     ("date", "ts"), ("array", "array"), ("binary", "bytes"),
 ]
 _DUCK_TYPE_CLASS = [
-    ("BIGINT", "int"), ("INTEGER", "int"), ("HUGEINT", "int"), ("UBIGINT", "int"),
+    # HUGEINT/UBIGINT deliberately map to their own class: the driver's pandas
+    # path renders them float64, so they can never safely match a Spark type.
+    ("HUGEINT", "hugeint"), ("UBIGINT", "hugeint"),
+    ("BIGINT", "int"), ("INTEGER", "int"),
     ("SMALLINT", "int"), ("TINYINT", "int"),
     ("DOUBLE", "float"), ("FLOAT", "float"), ("DECIMAL", "float"), ("NUMBER", "float"),
     ("VARCHAR", "str"), ("STRING", "str"), ("BOOLEAN", "bool"), ("bool", "bool"),
@@ -68,6 +77,14 @@ def _canon(rows, cols):
         out.append(tuple(_norm(r[i]) for i in order))
     out.sort()
     return out
+
+
+def _pandas_rows(pdf):
+    """Materialize a pandas frame the way the driver's canonicalizer sees it:
+    ``values.tolist()`` converts numpy scalars to native Python (int64→int,
+    float64→float, NaN stays float-NaN — exactly the rendering that made
+    DuckDB HUGEINT sums hash-mismatch Spark bigints)."""
+    return [tuple(r) for r in pdf.values.tolist()]
 
 
 def main():
@@ -96,7 +113,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = _pandas_rows(spdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -105,14 +123,22 @@ def main():
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = _pandas_rows(dpdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
+        # the driver's pandas sort_values cannot factorize list cells
+        for side, rows_ in (("spark", srows), ("duck", drows)):
+            if rows_ and any(isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+                             for v in rows_[0]):
+                problems.append(
+                    f"{side} result has array-valued column "
+                    "(driver canonicalizer fails on lists)"
+                )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         else:
