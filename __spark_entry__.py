@@ -9,11 +9,14 @@ sides (the driver hashes values after sorting columns by name).
 
 Determinism notes (why these oracles are byte-safe):
 - All hashing used in oracle-checked queries is md5 (identical in DuckDB);
-  xxhash64-based variants are exposed as rows-only queries.
+  SimHash uses a 60-bit fingerprint built from the first 15 hex nibbles of
+  md5 so DuckDB can rebuild it with integer arithmetic.  The xxhash64
+  families remain the library defaults / bench path.
 - Doubles are either exact (counts/ratios of integers, k/32 fractions) or
   rounded on BOTH sides after arithmetic performed in the same order.
 - Random hyperplanes are seeded numpy constants inlined as literals into both
-  the Spark plan and the oracle SQL.
+  the Spark plan and the oracle SQL; IVF centroids are selected by a
+  SQL-expressible stride rule so the oracle replays the identical plan.
 """
 
 from __future__ import annotations
@@ -593,15 +596,20 @@ def q_ks_exact(spark, sf_dir):
 
 
 def q_ks_drift(spark, sf_dir):
+    """Sketch KS on a fixed equi-width grid (deterministic and
+    oracle-checkable, unlike the percentile_approx-internal grid of
+    DR.ks_statistic — which remains the library's quantile-sketch path)."""
     docs = _t(spark, sf_dir, "documents")
-    value = DR.ks_statistic(
+    value = DR.ks_grid(
         docs.where(F.col("doc_id") < 250),
         docs.where(F.col("doc_id") >= 250),
         "n_chars",
-        npoints=50,
+        0.0,
+        640.0,
+        64,
     )
     return spark.createDataFrame(
-        [("n_chars", round(value, 4))], "col_name string, ks double"
+        [("n_chars", round(value, 6))], "col_name string, ks double"
     )
 
 
@@ -647,9 +655,18 @@ def q_near_dup_clusters(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    return D.simhash_near_duplicates(
-        _planted_text_union(spark, sf_dir), "doc_id", max_hamming=3
+    """md5-bit SimHash family (60-bit fingerprints, 4×15-bit pigeonhole
+    blocks) so the whole pipeline — shingle→fingerprint→block→hamming — is
+    byte-checked by the DuckDB oracle.  The xxhash64 64-bit family is the
+    fast default in the library (bench path)."""
+    out = D.simhash_near_duplicates(
+        _planted_text_union(spark, sf_dir),
+        "doc_id",
+        max_hamming=3,
+        block_bits=15,
+        hash_fn="md5",
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -690,7 +707,19 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF with EXPLICIT centroids chosen by a SQL-expressible rule (every
+    (n/16)-th vec_id, first 16) so the DuckDB oracle replays the identical
+    plan: assignment argmin, nprobe probing, and ranking."""
     emb = _t(spark, sf_dir, "embeddings")
+    stride = max(emb.count() // 16, 1)
+    cents = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("embedding")
+        .collect()
+    ]
     out = SIM.ivf_topk(
         emb,
         emb.where(F.col("vec_id") < 5),
@@ -699,6 +728,7 @@ def q_ivf_topk(spark, sf_dir):
         nprobe=4,
         corpus_id="vec_id",
         query_id="vec_id",
+        centroids=cents,
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
@@ -905,12 +935,47 @@ def _srp_sig_sql(vec: str, dim: int, num_planes: int, seed: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# bigram variant of _SHINGLE_CTE (SimHash uses word 2-grams)
+_SHINGLE2_CTE = f"""
+base2 AS (
+  SELECT doc_id AS _id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zz9' FROM documents WHERE text IS NOT NULL
+),
+norm2 AS (SELECT _id, {_NORM_TEXT} AS t FROM base2),
+words2 AS (SELECT _id, t, string_split(t, ' ') AS ws FROM norm2),
+sh2 AS (
+  SELECT _id,
+    CASE WHEN len(ws) >= 2
+      THEN list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN generate_series(1, len(ws) - 1)])
+      ELSE [t] END AS sh
+  FROM words2
+)
+"""
+
+
+def _md5_60bit_sql(expr: str) -> str:
+    """Value of the first 15 hex nibbles of md5(expr) as a BIGINT — mirrors
+    Spark's ``conv(substring(md5(x), 1, 15), 16, 10)`` (60 bits, always
+    non-negative)."""
+    terms = [
+        f"((strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)::BIGINT << {4 * (15 - i)})"
+        for i in range(1, 16)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     s_defs, lang_case = _lang_pred_sql()
     em_msg = (
         "Invalid email format"  # builtin ErrorConfig message (patterns.py)
     )
-    srp12 = _srp_sig_sql("v", 64, 12, 42)
+    # banded SRP signatures for embedding_near_dups: 4 bands × 8 planes,
+    # seeds 42 + 1000·b (dedup.EMBED_BAND_SEED_STRIDE)
+    srp_bands = [_srp_sig_sql("v", 64, 8, 42 + 1000 * b) for b in range(4)]
+    srp8_c = _srp_sig_sql("cv", 64, 8, 42)
+    srp8_q = _srp_sig_sql("qv", 64, 8, 42)
+    h60 = _md5_60bit_sql("g")
     return {
         "validate_flagship": f"""
 WITH v AS ({_FLAGSHIP_VIOL_SQL})
@@ -1293,18 +1358,22 @@ SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},
 ex AS (SELECT _id, unnest(sh) AS g FROM sh),
+rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 10000),
+exr AS (SELECT _id, g FROM ex JOIN rare USING (g)),
 cand AS (
-  SELECT l._id AS id_a, r._id AS id_b, count(*) AS inter_size
-  FROM ex l JOIN ex r ON l.g = r.g AND l._id < r._id
-  GROUP BY 1, 2
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM exr l JOIN exr r ON l.g = r.g AND l._id < r._id
 ),
-sizes AS (SELECT _id, len(sh) AS n FROM sh)
+s AS (
+  SELECT id_a, id_b,
+    len(list_intersect(a.sh, b.sh)) AS inter_size,
+    len(a.sh) AS a_n, len(b.sh) AS b_n
+  FROM cand JOIN sh a ON a._id = id_a JOIN sh b ON b._id = id_b
+)
 SELECT id_a, id_b,
-  round(inter_size / (a.n + b.n - inter_size)::DOUBLE, 6) AS jaccard
-FROM cand
-JOIN sizes a ON a._id = id_a
-JOIN sizes b ON b._id = id_b
-WHERE round(inter_size / (a.n + b.n - inter_size)::DOUBLE, 6) >= 0.8
+  round(inter_size / (a_n + b_n - inter_size)::DOUBLE, 6) AS jaccard
+FROM s
+WHERE round(inter_size / (a_n + b_n - inter_size)::DOUBLE, 6) >= 0.8
 """,
         "cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -1326,13 +1395,119 @@ WITH u AS (
   UNION ALL
   SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
 ),
-s AS (SELECT _id, v, {srp12} AS sig FROM u),
+e AS (
+  SELECT _id, v, 0 AS band, {srp_bands[0]} AS bucket FROM u
+  UNION ALL SELECT _id, v, 1, {srp_bands[1]} FROM u
+  UNION ALL SELECT _id, v, 2, {srp_bands[2]} FROM u
+  UNION ALL SELECT _id, v, 3, {srp_bands[3]} FROM u
+),
 pairs AS (
-  SELECT l._id AS id_a, r._id AS id_b,
-    round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
-  FROM s l JOIN s r ON l.sig = r.sig AND l._id < r._id
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.v AS va, r.v AS vb
+  FROM e l JOIN e r ON l.band = r.band AND l.bucket = r.bucket AND l._id < r._id
+),
+scored AS (
+  SELECT id_a, id_b,
+    round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+  FROM pairs
 )
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+""",
+        "lsh_topk": f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cs AS (SELECT neighbor_id, cv, {srp8_c} AS sig FROM c),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qs AS (SELECT query_id, qv, {srp8_q} AS sig FROM q),
+s AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM cs JOIN qs USING (sig)
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 10
+""",
+        "ivf_topk": """
+WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cid, e.embedding::DOUBLE[] AS cv
+  FROM embeddings e, p WHERE e.vec_id % p.stride = 0
+  ORDER BY e.vec_id LIMIT 16
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS x FROM embeddings),
+ca AS (
+  SELECT neighbor_id, x, cid,
+    row_number() OVER (PARTITION BY neighbor_id ORDER BY
+      (1 - list_dot_product(x, cv) / (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(cv, cv)))) ASC,
+      cid ASC) AS rn
+  FROM c CROSS JOIN cent
+),
+assigned AS (SELECT neighbor_id, x, cid FROM ca WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+qa AS (
+  SELECT query_id, qv, cid,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      (1 - list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) ASC,
+      cid ASC) AS rn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT query_id, qv, cid FROM qa WHERE rn <= 4),
+s AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, x) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(x, x))), 6) AS cosine
+  FROM assigned JOIN probes USING (cid)
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 10
+""",
+        "simhash_near_dups": f"""
+WITH {_SHINGLE2_CTE},
+ex AS (SELECT _id, unnest(sh) AS g FROM sh2),
+hv AS (SELECT _id, {h60} AS h FROM ex),
+votes AS (
+  SELECT _id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bits
+  GROUP BY _id, b
+),
+fp AS (
+  SELECT _id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+  FROM votes GROUP BY _id
+),
+blk AS (
+  SELECT _id, fp, bb.b AS blk, (fp >> (bb.b * 15)) & 32767 AS key
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+),
+pairs AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.fp AS fa, r.fp AS fb
+  FROM blk l JOIN blk r ON l.blk = r.blk AND l.key = r.key AND l._id < r._id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+""",
+        "ks_drift": """
+WITH b AS (
+  SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 640 THEN 65
+              ELSE CAST(floor(n_chars / 10.0) AS BIGINT) + 1 END AS bucket
+  FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL
+), c AS (
+  SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 640 THEN 65
+              ELSE CAST(floor(n_chars / 10.0) AS BIGINT) + 1 END AS bucket
+  FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL
+), bh AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+ch AS (SELECT bucket, count(*) AS n FROM c GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 65)) AS bucket),
+cum AS (
+  SELECT g.bucket,
+    sum(coalesce(bh.n, 0)) OVER (ORDER BY g.bucket) / (SELECT sum(n) FROM bh)::DOUBLE AS e1,
+    sum(coalesce(ch.n, 0)) OVER (ORDER BY g.bucket) / (SELECT sum(n) FROM ch)::DOUBLE AS e2
+  FROM grid g LEFT JOIN bh ON g.bucket = bh.bucket LEFT JOIN ch ON g.bucket = ch.bucket
+)
+SELECT 'n_chars' AS col_name, round(max(abs(e1 - e2)), 6) AS ks FROM cum
 """,
         "text_metrics": f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -38,7 +38,7 @@ HEADLINE = [
     "psi_drift",
     "text_metrics",
     "minhash_near_dups_fast",
-    "simhash_near_dups",
+    "simhash_near_dups_fast",
     "cosine_topk",
     "web_pages_full_plan",
 ]
@@ -78,6 +78,13 @@ def main():
     n_web = web.count()  # materialize so generation isn't timed
     web_plan = ValidationPlan(web_page_schema())
 
+    def simhash_fast(spark, sf_dir):
+        # xxhash64 64-bit family — the JVM fast path (the driver query uses
+        # the md5 60-bit family so the whole pipeline is oracle-checkable)
+        return D.simhash_near_duplicates(
+            entrymod._planted_text_union(spark, sf_dir), "doc_id", max_hamming=3
+        )
+
     def web_full(spark, sf_dir):
         return web_plan.apply(web).agg(
             F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))
@@ -88,6 +95,8 @@ def main():
     for name in HEADLINE:
         if name == "minhash_near_dups_fast":
             fn = minhash_fast
+        elif name == "simhash_near_dups_fast":
+            fn = simhash_fast
         elif name == "web_pages_full_plan":
             fn = web_full
         else:

@@ -5,8 +5,13 @@ default code/message per variant).  ``set_message(code, message)`` on a schema
 replaces BOTH code and message for every error that schema emits
 (error.rs:59-66) while keeping the logical error type.
 
-Violation rows are ``struct<field:string, code:string, message:string>``; a
-DataFrame row passes validation iff its ``violations`` array is empty.
+Violation rows are ``struct<field, code, message, error_type>``; a DataFrame
+row passes validation iff its ``violations`` array is empty.  ``error_type``
+carries the LOGICAL ``ErrorType`` variant name (Type/Pattern/MinLength/
+MaxLength/Literal/Coercion/Missing/Object) and — like the reference's
+``ValidationError.error_type`` (error.rs:51-66) — is NOT replaced by
+``set_message``, so callers can branch on the logical kind while codes and
+messages are customized.
 """
 
 from __future__ import annotations

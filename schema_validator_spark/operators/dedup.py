@@ -185,17 +185,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n_gram: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int = 10_000,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram sets for pairs sharing ≥1 shingle.
+    """Exact Jaccard over word n-gram sets for pairs sharing ≥1 RARE shingle.
 
-    Candidate generation = explode(shingles) self-join on the shingle —
-    correct but O(Σ per-shingle pairs); at web scale use minhash_lsh first
-    and this only to verify candidates.  Output: (id_a, id_b, jaccard).
+    Candidate generation = explode(shingles) self-join on the shingle, with a
+    document-frequency cap: shingles appearing in more than ``max_doc_freq``
+    docs are dropped BEFORE the self-join, so one stop-shingle ("the quick
+    brown" in 10⁶ docs) can't create 10¹² join rows — each surviving shingle
+    contributes at most max_doc_freq² pairs.  The Jaccard itself stays EXACT:
+    candidates join back to the FULL shingle arrays and intersect natively
+    (``array_intersect``), so the cap affects only which pairs are
+    discovered, never their score.  A pair whose every common shingle is
+    hotter than the cap is not a meaningful near-dup.  Pass
+    ``max_doc_freq=None`` to disable.  Output: (id_a, id_b, jaccard).
     """
     sh = _ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_sh"))
     exploded = sh.select("_id", F.explode("_sh").alias("_g"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("_g")
+        )
+        exploded = exploded.join(rare, "_g")
     cand = (
         exploded.alias("l")
         .join(
@@ -203,21 +219,28 @@ def ngram_jaccard_pairs(
             (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")),
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    # exact verification on the candidate set only: intersect the full
+    # (distinct) shingle arrays natively — no Python, no re-explode
     jac = F.col("inter_size") / (
         F.col("a_n") + F.col("b_n") - F.col("inter_size")
     )
     return (
-        cand.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("a_n")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("b_n")), "id_b")
+        cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a"
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b"
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(jac, 6).alias("jaccard"),
+            F.size(F.array_intersect("_sha", "_shb")).alias("inter_size"),
+            F.size("_sha").alias("a_n"),
+            F.size("_shb").alias("b_n"),
         )
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -255,28 +278,60 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+#: Per-doc shingle cap for the packed-lane SimHash aggregation: each 16-bit
+#: lane's top counter sits at bit 48+, so a lane's set-count must stay below
+#: 2^15 = 32768 or the ``count << 48`` term overflows the signed 64-bit sum
+#: accumulator (a runtime arithmetic error under Spark 4 ANSI mode, not a
+#: wrong bit).  32000 shingles ≈ a 32k-word page — far beyond any web page;
+#: docs longer than that are fingerprinted from their first 32000 shingles.
+SIMHASH_MAX_SHINGLES = 32000
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str = "text", n_gram: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Per-doc 64-bit SimHash via explode → hash → groupBy(id) with 64 native
+    """Per-doc SimHash via explode → hash → groupBy(id) with packed native
     sum aggregates (map-side partial agg; one shuffle keyed by id).
+
+    hash_fn="xxhash64": 64-bit fingerprint (fast JVM path, default).
+    hash_fn="md5": 60-bit fingerprint from the first 15 hex digits of
+    md5(shingle) — byte-identical in DuckDB, so the whole SimHash pipeline is
+    oracle-checkable (the reason this variant exists).
 
     This is the scale shape: the single-expression ``simhash64`` fold evaluates
     64 array passes per row — fine for ad-hoc use, ~10× slower in practice.
     Output: (_id, _fp).
     """
+    if hash_fn == "xxhash64":
+        bits, hashed = 64, F.xxhash64("_g")
+    elif hash_fn == "md5":
+        # 15 hex nibbles = 60 bits, always non-negative (fits signed bigint)
+        bits = 60
+        hashed = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     sh = _ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     ).select(
-        "_id", F.explode(word_shingles(F.col("_text"), n_gram)).alias("_g")
-    ).select("_id", F.xxhash64("_g").alias("_h"))
+        "_id",
+        F.explode(
+            F.slice(word_shingles(F.col("_text"), n_gram), 1, SIMHASH_MAX_SHINGLES)
+        ).alias("_g"),
+    ).select("_id", hashed.alias("_h"))
 
-    # Pack 4 per-bit set-counters into 16-bit lanes of one long: 16 native sum
-    # aggregates instead of 64 (4x fewer agg-buffer updates; counters can't
-    # borrow across lanes because they're non-negative).  bit i is set in the
-    # fingerprint iff its +1/-1 vote is positive, i.e. 2*ones_i > n_shingles.
-    # Lane width bounds docs to <65536 shingles — far beyond any web page.
+    # Pack 4 per-bit set-counters into 16-bit lanes of one long: bits/4 native
+    # sum aggregates instead of one per bit (4x fewer agg-buffer updates;
+    # counters can't borrow across lanes because they're non-negative).  bit i
+    # is set in the fingerprint iff its +1/-1 vote is positive, i.e.
+    # 2*ones_i > n_shingles.  The 16-bit lane at bit 48 bounds per-doc shingle
+    # counts to <32768 (see SIMHASH_MAX_SHINGLES).
     one = F.lit(1).cast("bigint")
+    groups = bits // 4
 
     def _packed(k: int):
         def bit(lane: int):
@@ -290,11 +345,11 @@ def simhash_fingerprints(
         ).alias(f"_p{k}")
 
     agg = sh.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"), *[_packed(k) for k in range(16)]
+        F.count(F.lit(1)).alias("_n"), *[_packed(k) for k in range(groups)]
     )
     mask = F.lit(0xFFFF).cast("bigint")
     fp = F.lit(0).cast("bigint")
-    for k in range(16):
+    for k in range(groups):
         for lane in range(4):
             ones = F.shiftright(F.col(f"_p{k}"), 16 * lane).bitwiseAND(mask)
             fp = fp.bitwiseOR(
@@ -312,12 +367,17 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     block_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dups: block on 16-bit prefixes (4 rotations) so only rows
+    """SimHash near-dups: block on bit-slices (4 rotations) so only rows
     agreeing on one block are compared — a pigeonhole guarantee for
-    max_hamming ≤ 3 over 4 blocks.  Output: (id_a, id_b, hamming)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
-    n_blocks = 64 // block_bits
+    max_hamming ≤ 3 over 4 blocks.  Output: (id_a, id_b, hamming).
+
+    hash_fn="md5" uses the 60-bit oracle-checkable fingerprint family —
+    pass ``block_bits=15`` with it to keep the 4-block pigeonhole."""
+    fp = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
+    total_bits = 60 if hash_fn == "md5" else 64
+    n_blocks = total_bits // block_bits
     mask = (1 << block_bits) - 1
     blocked = fp.select(
         "_id",
@@ -402,30 +462,79 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 # -- embedding cosine near-dup ---------------------------------------------------
 
+#: Seed stride between SRP bands — bands must draw INDEPENDENT hyperplane
+#: sets; both the Spark plan and the DuckDB oracle derive band b's seed as
+#: ``seed + EMBED_BAND_SEED_STRIDE * b``.
+EMBED_BAND_SEED_STRIDE = 1000
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_planes: int = 8,
+    bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH bucketing + exact
-    verification within buckets (see similarity.py for the primitives)."""
+    verification within buckets (see similarity.py for the primitives).
+
+    Band-amplified like MinHash banding: ``bands`` independent
+    ``num_planes``-bit SRP signatures OR'd together — a pair is a candidate
+    if it collides in ANY band.  A single 12-plane signature caps recall at
+    ~0.58 for cosine 0.99 pairs (P(bit agrees) ≈ 1 − acos(0.99)/π ≈ 0.955,
+    0.955¹² ≈ 0.58); 4 bands of 8 planes lift it to
+    1 − (1 − 0.955⁸)⁴ ≈ 0.99.  Every candidate is exactly verified, so
+    banding only adds recall, never false positives.
+    """
     from .similarity import cosine, hyperplane_signature
 
-    sig = hyperplane_signature(F.col(vec_col), dim_hint(df, vec_col), num_planes, seed)
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    dim = dim_hint(df, vec_col)
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sigged = v.select(
+        "_id",
+        "_v",
+        *[
+            hyperplane_signature(
+                F.col("_v"), dim, num_planes, seed + EMBED_BAND_SEED_STRIDE * b
+            ).alias(f"_sig{b}")
+            for b in range(bands)
+        ],
+    )
+    entries = sigged.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"_sig{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", "_v", "_e.band", "_e.bucket")
     pairs = (
-        v.alias("l")
+        entries.alias("l")
         .join(
-            v.alias("r"),
-            (F.col("l._sig") == F.col("r._sig")) & (F.col("l._id") < F.col("r._id")),
+            entries.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
         )
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cosine"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
     )
     return pairs.where(F.col("cosine") >= threshold)

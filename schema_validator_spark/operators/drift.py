@@ -78,6 +78,34 @@ def ks_statistic(
     return max(abs(ecdf(qa, x) - ecdf(qb, x)) for x in grid) if grid else 0.0
 
 
+def ks_grid(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 64,
+) -> float:
+    """Deterministic sketch KS: max |ECDF_b − ECDF_c| evaluated at FIXED
+    equi-width bucket edges (same histogram sketch PSI uses).  Unlike the
+    ``percentile_approx``-based ``ks_statistic``, the grid does not depend on
+    a sketch algorithm's internals, so the value is exactly reproducible by
+    any engine that can count — this is the oracle-checkable variant.  Each
+    side costs one histogram aggregation; only O(nbuckets) counts reach the
+    driver.  Pick integer-friendly lo/hi/width for cross-engine float parity.
+    """
+    bh = {r["bucket"]: r["cnt"] for r in numeric_histogram(baseline, column, lo, hi, nbuckets).collect()}
+    ch = {r["bucket"]: r["cnt"] for r in numeric_histogram(current, column, lo, hi, nbuckets).collect()}
+    nb = sum(bh.values()) or 1
+    nc = sum(ch.values()) or 1
+    ks, cb, cc = 0.0, 0, 0
+    for b in range(nbuckets + 2):
+        cb += bh.get(b, 0)
+        cc += ch.get(b, 0)
+        ks = max(ks, abs(cb / nb - cc / nc))
+    return ks
+
+
 def ks_exact(
     baseline: DataFrame, current: DataFrame, column: str
 ) -> DataFrame:

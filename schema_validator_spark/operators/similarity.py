@@ -144,60 +144,98 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF-flat style ANN: centroids = deterministic corpus sample (every
     (n/n_centroids)-th row by id — no RNG), corpus assigned to nearest
     centroid once, queries probe the nprobe nearest centroid cells.
+
+    Scale shape: the centroid table is tiny and becomes LITERALS in the
+    corpus projection — each corpus row computes all ``n_centroids`` cosines
+    in ONE whole-stage-codegen projection and takes the argmin with
+    ``array_min`` over (distance, cid) structs.  Zero row amplification, zero
+    shuffle before the final per-query top-k window (which ranks only the
+    probed candidate set).  The previous crossJoin + row_number-over-
+    neighbor_id formulation shuffled corpus×n_centroids rows just to compute
+    a per-row argmin.
+
+    ``centroids``: optional explicit centroid vectors (cid = list position);
+    when None they are sampled deterministically from the corpus by id-hash.
     """
-    # Deterministic centroid "sample" without a global sort: hash-select
-    # ~n_centroids rows, rank the (tiny) survivor set by id, keep the first
-    # n_centroids.  (No bare ``limit`` — that picks partition-order-dependent
-    # rows and breaks run-to-run determinism.)
-    total = corpus.count()
-    stride = max(total // n_centroids, 1)
-    sampled = corpus.where(
-        F.pmod(F.abs(F.xxhash64(F.col(corpus_id))), F.lit(stride)) == 0
-    )
-    w_cent = Window.orderBy(F.col(corpus_id))  # ~n_centroids rows — trivial
-    centroids = (
-        sampled.select(
-            (F.row_number().over(w_cent) - 1).alias("centroid_id"),
-            F.col(corpus_vec).alias("_cent"),
+    if centroids is None:
+        # Deterministic centroid "sample" without a global sort: hash-select
+        # ~n_centroids rows, rank the (tiny) survivor set by id, keep the
+        # first n_centroids.  (No bare ``limit`` — that picks partition-
+        # order-dependent rows and breaks run-to-run determinism.)
+        total = corpus.count()
+        stride = max(total // n_centroids, 1)
+        sampled = corpus.where(
+            F.pmod(F.abs(F.xxhash64(F.col(corpus_id))), F.lit(stride)) == 0
         )
-        .where(F.col("centroid_id") < n_centroids)
-    )
-    cb = F.broadcast(centroids)
+        w_cent = Window.orderBy(F.col(corpus_id))  # ~n_centroids rows — trivial
+        centroids = [
+            r["_cent"]
+            for r in (
+                sampled.select(
+                    (F.row_number().over(w_cent) - 1).alias("centroid_id"),
+                    F.col(corpus_vec).alias("_cent"),
+                )
+                .where(F.col("centroid_id") < n_centroids)
+                .collect()  # bounded: n_centroids vectors
+            )
+        ]
+    cent_arrays = [
+        F.array(*[F.lit(float(x)) for x in cent]) for cent in centroids
+    ]
+
+    def dist_structs(vec: Column) -> Column:
+        # array<struct<d,cid>> — struct ordering = (distance asc, cid asc),
+        # exactly the old window's tie-break
+        return F.array(
+            *[
+                F.struct(
+                    (1 - cosine(vec, ca)).alias("d"),
+                    F.lit(i).cast("int").alias("cid"),
+                )
+                for i, ca in enumerate(cent_arrays)
+            ]
+        )
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    ).crossJoin(cb).select(
-        "neighbor_id",
-        "_cv",
-        "centroid_id",
-        (1 - cosine(F.col("_cv"), F.col("_cent"))).alias("_d"),
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.col("_d").asc(), F.col("centroid_id").asc())
+    # alias the distance array in its own select: it feeds array_min once but
+    # keeping it a named projection keeps the plan readable and stops any
+    # future second consumer from inlining the n_centroids dot products twice
     assigned = (
-        c.withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("neighbor_id", "_cv", "centroid_id")
+        c.select("neighbor_id", "_cv", dist_structs(F.col("_cv")).alias("_dc"))
+        .select(
+            "neighbor_id", "_cv", F.array_min("_dc")["cid"].alias("centroid_id")
+        )
     )
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-    ).crossJoin(cb).select(
-        "query_id",
-        "_qv",
-        "centroid_id",
-        (1 - cosine(F.col("_qv"), F.col("_cent"))).alias("_d"),
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("centroid_id").asc())
     probes = F.broadcast(
-        q.withColumn("_rn", F.row_number().over(w_probe))
-        .where(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
+        q.select(
+            "query_id",
+            "_qv",
+            F.slice(F.array_sort(dist_structs(F.col("_qv"))), 1, nprobe).alias(
+                "_probe"
+            ),
+        ).select(
+            "query_id",
+            "_qv",
+            F.explode(F.transform(F.col("_probe"), lambda s: s["cid"])).alias(
+                "centroid_id"
+            ),
+        )
     )
 
+    # (query, neighbor) pairs are unique by construction — a corpus row lives
+    # in exactly one cell and a query probes nprobe distinct cells — so no
+    # dedup (and no extra shuffle) is needed before ranking.
     scored = assigned.join(probes, "centroid_id").select(
         "query_id",
         "neighbor_id",
@@ -206,8 +244,6 @@ def ivf_topk(
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= k
     )

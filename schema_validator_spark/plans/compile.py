@@ -44,7 +44,7 @@ from ..schema import (
     Transform,
 )
 
-VIOLATION_DDL = "struct<field:string,code:string,message:string>"
+VIOLATION_DDL = "struct<field:string,code:string,message:string,error_type:string>"
 
 # Python equivalent of UNICODE_WHITESPACE_CLASS (Rust char::is_whitespace set)
 _PY_WS = "\t\n\x0b\x0c\r \x85\xa0 " + "".join(
@@ -65,13 +65,18 @@ def spark_type_name(dt: T.DataType) -> str:
     return "Unknown"
 
 
-def _viol(field_name: str, code, message) -> Column:
+def _viol(field_name: str, code, message, error_type: str) -> Column:
+    """One violation struct.  ``error_type`` is the reference's LOGICAL
+    ``ErrorType`` variant name (error.rs:19-31) and is NOT overridden by
+    ``set_message`` — the reference keeps it even when code+message are
+    customized (error.rs:51-66), so callers can branch on the logical kind."""
     code = code if isinstance(code, Column) else F.lit(code)
     message = message if isinstance(message, Column) else F.lit(message)
     return F.struct(
         F.lit(field_name).alias("field"),
         code.alias("code"),
         message.alias("message"),
+        F.lit(error_type).alias("error_type"),
     )
 
 
@@ -102,13 +107,13 @@ def _override(cfg: Optional[ErrorConfig], code, message):
     return code, message
 
 
-def _const_field(name: str, out_ddl: str, code, message) -> CompiledField:
+def _const_field(name: str, out_ddl: str, code, message, error_type: str) -> CompiledField:
     """A field whose every row fails with the same violation (e.g. static type
     mismatch).  Catalyst constant-folds this to zero per-row work."""
     return CompiledField(
         name,
         F.lit(None).cast(out_ddl),
-        _viol(name, code, message),
+        _viol(name, code, message, error_type),
         out_ddl,
         F.lit(False),
     )
@@ -250,7 +255,7 @@ def _compile_string(
         s = F.when(col, F.lit("true")).otherwise(F.lit("false"))
     else:
         code, msg = _override(cfg, E.TYPE_ERROR, E.type_error_message("String", tn))
-        return _const_field(name, out_ddl, code, msg)
+        return _const_field(name, out_ddl, code, msg, "Type")
 
     checks: list[tuple[Column, Column]] = []  # (fail_cond, violation)
 
@@ -268,7 +273,7 @@ def _compile_string(
                     F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg, "Pattern")))
     else:
         blen = F.octet_length(s)  # Rust String::len is BYTES
         if sch.min_len is not None:
@@ -281,7 +286,7 @@ def _compile_string(
                     blen.cast("string"),
                 ),
             )
-            checks.append((blen < sch.min_len, _viol(name, code, msg)))
+            checks.append((blen < sch.min_len, _viol(name, code, msg, "MinLength")))
         if sch.max_len is not None:
             code, msg = _override(
                 cfg,
@@ -292,7 +297,7 @@ def _compile_string(
                     blen.cast("string"),
                 ),
             )
-            checks.append((blen > sch.max_len, _viol(name, code, msg)))
+            checks.append((blen > sch.max_len, _viol(name, code, msg, "MaxLength")))
         if sch.pattern_regex is not None:
             code, msg = _override(
                 cfg,
@@ -303,7 +308,7 @@ def _compile_string(
                     F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg, "Pattern")))
 
     return _finish(name, col, s, checks, sch, out_ddl)
 
@@ -340,17 +345,17 @@ def _compile_number(
             code, msg = _override(
                 cfg, E.COERCION_ERROR, E.coercion_error_message("String", "Number")
             )
-            checks.append((col.isNotNull() & s.isNull(), _viol(name, code, msg)))
+            checks.append((col.isNotNull() & s.isNull(), _viol(name, code, msg, "Coercion")))
         elif tn == "Boolean":
             s = F.when(col, 1.0).otherwise(0.0)
         else:
             code, msg = _override(
                 cfg, E.COERCION_ERROR, E.coercion_error_message(tn, "Number")
             )
-            return _const_field(name, "double", code, msg)
+            return _const_field(name, "double", code, msg, "Coercion")
     else:
         code, msg = _override(cfg, E.TYPE_ERROR, E.type_error_message("Number", tn))
-        return _const_field(name, "double", code, msg)
+        return _const_field(name, "double", code, msg, "Type")
 
     s = _apply_transforms(s, sch.transforms, "double")
     return _finish(name, col, s, checks, sch, "double")
@@ -381,12 +386,12 @@ def _compile_boolean(
             code, msg = _override(
                 cfg, E.COERCION_ERROR, E.coercion_error_message(tn, "Boolean")
             )
-            return _const_field(name, "boolean", code, msg)
+            return _const_field(name, "boolean", code, msg, "Coercion")
         # Option coercion: None → false (boolean.rs:74-75, tests/coercion:80-81)
         coerce_null_to_false = True
     else:
         code, msg = _override(cfg, E.TYPE_ERROR, E.type_error_message("Boolean", tn))
-        return _const_field(name, "boolean", code, msg)
+        return _const_field(name, "boolean", code, msg, "Type")
 
     s = _apply_transforms(s, sch.transforms, "boolean")
     cf = _finish(name, col, s, [], sch, "boolean")
@@ -420,7 +425,7 @@ def _compile_literal(
         code, msg = _override(
             cfg, E.LITERAL_ERROR, E.literal_error_message(expected_dbg, "Any { .. }")
         )
-        return _const_field(name, out_ddl, code, msg)
+        return _const_field(name, out_ddl, code, msg, "Literal")
 
     if isinstance(sch.value, bool):
         got_dbg = F.when(col, F.lit("true")).otherwise(F.lit("false"))
@@ -443,7 +448,7 @@ def _compile_literal(
             "Literal error: expected %s, got %s", F.lit(expected_dbg), got_dbg
         ),
     )
-    checks = [(col != F.lit(sch.value), _viol(name, code, msg))]
+    checks = [(col != F.lit(sch.value), _viol(name, code, msg, "Literal"))]
     return _finish(name, col, col, checks, sch, out_ddl)
 
 
@@ -477,7 +482,7 @@ def _finish(
         code, msg = _override(
             missing_cfg, E.MISSING_FIELD, E.missing_field_message(name)
         )
-        viol = F.when(src_col.isNull(), _viol(name, code, msg)).otherwise(viol)
+        viol = F.when(src_col.isNull(), _viol(name, code, msg, "Missing")).otherwise(viol)
         passes = F.when(src_col.isNull(), F.lit(False)).otherwise(~fail_any)
 
     value = F.when(viol.isNull(), value).otherwise(F.lit(None).cast(out_ddl))
@@ -523,7 +528,7 @@ def compile_field(
             cf.value,
             F.when(
                 col.isNull(),
-                _viol(name, F.lit(missing_cfg.code), F.lit(missing_cfg.message)),
+                _viol(name, F.lit(missing_cfg.code), F.lit(missing_cfg.message), "Missing"),
             ).otherwise(cf.violation),
             cf.out_ddl,
             cf.passes,
@@ -562,7 +567,9 @@ def compile_object(
                 obj.error_config, E.MISSING_FIELD, E.missing_field_message(name)
             )
             out.append(
-                _const_field(name, getattr(sch, "output_type", "string"), code, msg)
+                _const_field(
+                    name, getattr(sch, "output_type", "string"), code, msg, "Missing"
+                )
             )
             continue
         out.append(

@@ -99,7 +99,7 @@ def _finish_json(name, sch, present, rt, value, checks, out_ddl, missing_cfg):
     # absent key → Missing with the OBJECT-level config (object.rs:297-305),
     # optional or not
     code, msg = _override(missing_cfg, E.MISSING_FIELD, E.missing_field_message(name))
-    viol = F.when(~present, _viol(name, code, msg)).otherwise(viol)
+    viol = F.when(~present, _viol(name, code, msg, "Missing")).otherwise(viol)
     value = F.when(viol.isNull(), value).otherwise(F.lit(None).cast(out_ddl))
     return _JsonField(name, value, viol, out_ddl)
 
@@ -127,7 +127,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
         E.TYPE_ERROR,
         F.format_string("Type error: expected String, got %s", rt),
     )
-    checks.append((bad_type, _viol(name, code, msg)))
+    checks.append((bad_type, _viol(name, code, msg, "Type")))
 
     if sch.has_transforms:
         s = _apply_transforms(s, sch.transforms, out_ddl)
@@ -140,7 +140,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
                     s, F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg, "Pattern")))
     else:
         blen = F.octet_length(s)
         if sch.min_len is not None:
@@ -151,7 +151,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
                     F.lit(str(sch.min_len)), blen.cast("string"),
                 ),
             )
-            checks.append((blen < sch.min_len, _viol(name, code, msg)))
+            checks.append((blen < sch.min_len, _viol(name, code, msg, "MinLength")))
         if sch.max_len is not None:
             code, msg = _override(
                 cfg, E.MAX_LENGTH_ERROR,
@@ -160,7 +160,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
                     F.lit(str(sch.max_len)), blen.cast("string"),
                 ),
             )
-            checks.append((blen > sch.max_len, _viol(name, code, msg)))
+            checks.append((blen > sch.max_len, _viol(name, code, msg, "MaxLength")))
         if sch.pattern_regex is not None:
             code, msg = _override(
                 cfg, E.PATTERN_ERROR,
@@ -169,7 +169,7 @@ def _compile_json_string(sch: StringSchema, name, present, rt, s_str, s_dbl, s_b
                     s, F.lit(sch.pattern_regex),
                 ),
             )
-            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg)))
+            checks.append((~s.rlike(jvm_regex(sch.pattern_regex)), _viol(name, code, msg, "Pattern")))
 
     return _finish_json(name, sch, present, rt, s, checks, out_ddl, missing_cfg)
 
@@ -187,19 +187,19 @@ def _compile_json_number(sch: NumberSchema, name, present, rt, s_str, s_dbl, s_b
         code, msg = _override(
             cfg, E.COERCION_ERROR, E.coercion_error_message("String", "Number")
         )
-        checks.append(((rt == "String") & parsed.isNull(), _viol(name, code, msg)))
+        checks.append(((rt == "String") & parsed.isNull(), _viol(name, code, msg, "Coercion")))
         code, msg = _override(
             cfg, E.COERCION_ERROR,
             F.format_string("Coercion error: cannot convert %s to Number", rt),
         )
-        checks.append((rt == "Unknown", _viol(name, code, msg)))
+        checks.append((rt == "Unknown", _viol(name, code, msg, "Coercion")))
     else:
         s = F.when(rt == "Float", s_dbl)
         code, msg = _override(
             cfg, E.TYPE_ERROR,
             F.format_string("Type error: expected Number, got %s", rt),
         )
-        checks.append((rt != "Float", _viol(name, code, msg)))
+        checks.append((rt != "Float", _viol(name, code, msg, "Type")))
     s = _apply_transforms(s, sch.transforms, "double")
     return _finish_json(name, sch, present, rt, s, checks, "double", missing_cfg)
 
@@ -221,7 +221,7 @@ def _compile_json_boolean(sch: BooleanSchema, name, present, rt, s_str, s_dbl, s
             cfg, E.TYPE_ERROR,
             F.format_string("Type error: expected Boolean, got %s", rt),
         )
-        checks.append((rt != "Boolean", _viol(name, code, msg)))
+        checks.append((rt != "Boolean", _viol(name, code, msg, "Type")))
     s = _apply_transforms(s, sch.transforms, "boolean")
     f = _finish_json(name, sch, present, rt, s, checks, "boolean", missing_cfg)
     if sch.coerce and not sch.nullable:
@@ -267,8 +267,8 @@ def _compile_json_literal(sch: LiteralSchema, name, present, rt, s_str, s_dbl, s
         F.format_string("Literal error: expected %s, got %s", F.lit(expected_dbg), got_dbg),
     )
     checks = [
-        (rt != want, _viol(name, type_code, type_msg)),
-        (val_col != lit_val, _viol(name, eq_code, eq_msg)),
+        (rt != want, _viol(name, type_code, type_msg, "Literal")),
+        (val_col != lit_val, _viol(name, eq_code, eq_msg, "Literal")),
     ]
     return _finish_json(name, sch, present, rt, val_col, checks, out_ddl, missing_cfg)
 
@@ -288,7 +288,7 @@ def validate_json_objects(
     reference's per-row dynamic-typing semantics.
 
     Output contract matches ``ValidationPlan.apply``: one typed column per
-    schema field, ``violations: array<struct<field,code,message>>``, ``valid``;
+    schema field, ``violations: array<struct<field,code,message,error_type>>``, ``valid``;
     other input columns pass through.  Single projection, all JVM-side.
     """
     # Stage the expensive primitives (parse, keys, per-field type + typed
@@ -335,9 +335,9 @@ def validate_json_objects(
     n_code, n_msg = _override(cfg, E.TYPE_ERROR, _NON_OBJECT_MSG)
     a_code, a_msg = _override(cfg, E.TYPE_ERROR, _ARRAY_OR_OBJECT_MSG)
     row_viol = (
-        F.when(unparseable, _viol(json_col, u_code, u_msg))
-        .when(non_object, _viol(json_col, n_code, n_msg))
-        .when(has_nested, _viol(json_col, a_code, a_msg))
+        F.when(unparseable, _viol(json_col, u_code, u_msg, "Type"))
+        .when(non_object, _viol(json_col, n_code, n_msg, "Type"))
+        .when(has_nested, _viol(json_col, a_code, a_msg, "Type"))
         .otherwise(_null_viol())
     )
     row_ok = row_viol.isNull()

@@ -6,8 +6,9 @@ must do explicitly").  Output contract per row:
 
 - each schema field column holds the validated/transformed value (NULL if the
   field failed),
-- ``violations: array<struct<field,code,message>>`` holds ALL field errors
-  (the reference accumulates across fields, object.rs:288-306),
+- ``violations: array<struct<field,code,message,error_type>>`` holds ALL
+  field errors (the reference accumulates across fields, object.rs:288-306);
+  ``error_type`` is the logical ErrorType variant, untouched by set_message,
 - ``valid: boolean`` = violations is empty,
 - non-schema columns pass through untouched (object.rs:269).
 
@@ -89,6 +90,8 @@ class ValidationPlan:
             F.col("v.field").alias("field"),
             F.col("v.code").alias("code"),
             F.col("v.message").alias("message"),
+            # logical ErrorType variant — survives set_message (error.rs:51-66)
+            F.col("v.error_type").alias("error_type"),
         )
 
     def object_error(self) -> Column:
@@ -115,7 +118,12 @@ class ValidationPlan:
                 F.lit("]"),
             )
         return F.when(
-            ~F.col(VALID_COL), F.struct(code.alias("code"), msg.alias("message"))
+            ~F.col(VALID_COL),
+            F.struct(
+                code.alias("code"),
+                msg.alias("message"),
+                F.lit("Object").alias("error_type"),
+            ),
         )
 
     def verdicts(

@@ -30,13 +30,20 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     driver_mem: str | None = None,
+    master: str | None = None,
+    executor_mem: str | None = None,
 ) -> SparkSession:
+    """``master`` defaults to ``local[cpus]``.  Pass e.g.
+    ``local-cluster[4,8,9216]`` for separate-JVM executors (the scaling
+    bench's stand-in for real multi-executor isolation); ``executor_mem``
+    then sizes each executor heap (pre-touched, same reasoning as the
+    driver heap)."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     driver_mem = driver_mem or os.environ.get("SPARK_DRIVER_MEM", "16g")
     max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    b = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -50,5 +57,18 @@ def get_spark(
             f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
         )
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        # SimplifyCaseConversionExpressions rewrites upper(lower(x)) →
+        # upper(x), which is NOT semantics-preserving under Unicode
+        # SpecialCasing (upper(lower('İ')) is 'I'+U+0307, upper('İ') is 'İ')
+        # — the reference applies transforms sequentially, so must we.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.SimplifyCaseConversionExpressions",
+        )
     )
+    if executor_mem:
+        b = b.config("spark.executor.memory", executor_mem).config(
+            "spark.executor.extraJavaOptions",
+            f"-Xms{executor_mem} -XX:+AlwaysPreTouch",
+        )
+    return b.getOrCreate()

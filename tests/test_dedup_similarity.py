@@ -215,3 +215,77 @@ def test_near_dup_clusters(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_simhash_md5_family(spark, near_dup_docs):
+    # 60-bit md5-derived fingerprints (the oracle-checkable family)
+    fps = {
+        r["_id"]: r["_fp"]
+        for r in dedup.simhash_fingerprints(
+            near_dup_docs, "doc_id", hash_fn="md5"
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # identical docs → identical fingerprint
+    assert all(0 <= fp < (1 << 60) for fp in fps.values())
+
+    def ham(a, b):
+        return bin(fps[a] ^ fps[b]).count("1")
+
+    # near dup is strictly closer than unrelated docs
+    assert ham(1, 3) < ham(1, 4) and ham(1, 3) < ham(1, 5)
+    # blocked search keeps the guarantee blocking actually gives (4 blocks of
+    # 15 bits pigeonhole pairs with hamming <= 3): the exact dup is found,
+    # unrelated docs are not
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(
+            near_dup_docs, "doc_id", max_hamming=3, block_bits=15, hash_fn="md5"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_embedding_near_dup_banded_recall(spark):
+    # planted near-dup pairs at cosine >= 0.99: banding must recover >= 95%
+    # (a single 12-plane signature structurally caps out around 58%)
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16).astype("float64")
+    rows, truth = [], set()
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        n = v + 0.02 * rng.randn(16)
+        cos = float(v @ n / (np.linalg.norm(v) * np.linalg.norm(n)))
+        rows.append((2 * i + 1, [float(x) for x in n]))
+        if cos >= 0.99:
+            truth.add((2 * i, 2 * i + 1))
+    assert len(truth) >= 30  # the planting actually produced near-dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(
+            df, "vec_id", threshold=0.99
+        ).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"banded SRP recall {recall:.2f} < 0.95"
+
+
+def test_ngram_hot_shingle_cap(spark):
+    # every doc shares one hot trigram; with the df cap active that shingle
+    # cannot generate candidates, so unrelated docs pair with NOTHING while a
+    # genuinely duplicated doc is still found through its rare shingles
+    hot = "common header boilerplate"
+    rows = [(i, f"{hot} unique words {i}a {i}b {i}c {i}d {i}e") for i in range(30)]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", threshold=0.3, max_doc_freq=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got == {(0, 100): 1.0}  # only the planted dup; hot shingle inert
+    # uncapped, the hot shingle pairs everything with everything
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", threshold=0.0, max_doc_freq=None
+    ).count()
+    assert uncapped == 31 * 30 / 2

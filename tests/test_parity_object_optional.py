@@ -353,3 +353,26 @@ def test_empty_object_schema_accepts_all(spark):
         spark.createDataFrame([("x",)], "c string")
     ).collect()
     assert rows[0]["valid"] and rows[0]["violations"] == []
+
+
+def test_error_type_survives_set_message(spark):
+    # error.rs:51-66: set_message replaces code+message but the LOGICAL
+    # error_type is preserved — callers can still branch on the kind
+    s = schema()
+    obj = (
+        s.object()
+        .field("email", s.string().email().set_message("E1", "custom msg"))
+        .field("name", s.string().min_length(5).set_message("E2", "too short"))
+    )
+    df = spark.createDataFrame(
+        [("not-an-email", "ab"), (None, "valid-name")], "email string, name string"
+    )
+    plan = ValidationPlan(obj)
+    rows = plan.violations(plan.apply(df), ["email"]).collect()
+    by_code = {r["code"]: r["error_type"] for r in rows}
+    assert by_code["E1"] == "Pattern"     # custom code, logical kind intact
+    assert by_code["E2"] == "MinLength"
+    # missing field keeps Missing even though the field schema has set_message
+    assert any(
+        r["code"] == "MISSING_FIELD" and r["error_type"] == "Missing" for r in rows
+    )

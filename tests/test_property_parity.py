@@ -128,3 +128,82 @@ def test_coerce_float_to_string_matches_rust_format(spark, values):
     for i, v in enumerate(values):
         expected = f"{v:.0f}"
         assert got[i] == expected, f"{v!r}: spark={got[i]!r} py={expected!r}"
+
+
+# -- case-transform parity (string.rs:663-682) --------------------------------
+# Rust std to_lowercase/to_uppercase implements full Unicode SpecialCasing:
+# Final_Sigma context for Σ, ß→SS, İ→i+COMBINING DOT, expanding ligatures.
+# The engine has two execution paths — JVM (F.lower/F.upper) and the fused
+# pandas stage (str.lower/str.upper) — both must match the Rust outputs.
+
+_CASE_GOLDEN = [
+    # (input, rust_to_lowercase, rust_to_uppercase)
+    ("ΑΣ", "ας", "ΑΣ"),        # final sigma at end of word
+    ("Σ", "σ", "Σ"),           # no preceding cased char → non-final form
+    ("ΑΣΑ", "ασα", "ΑΣΑ"),     # followed by cased char → non-final form
+    ("ΑΣ x", "ας x", "ΑΣ X"),  # followed by uncased char → final form
+    ("ß", "ß", "SS"),          # sharp s expands
+    ("straße", "straße", "STRASSE"),
+    ("İ", "i̇", "İ"),           # dotted capital I → i + U+0307
+    ("ı", "ı", "I"),           # dotless i (ROOT locale, not Turkish)
+    ("ﬁle", "ﬁle", "FILE"),    # ligature expands
+    ("ŉ", "ŉ", "ʼN"),
+]
+
+
+def _case_outputs(spark, sch_builder):
+    values = [c[0] for c in _CASE_GOLDEN]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, v string"
+    )
+    s = schema()
+    plan = ValidationPlan(s.object().field("v", sch_builder(s)))
+    return {r["i"]: r["v"] for r in plan.apply(df).select("i", "v").collect()}
+
+
+def test_case_transforms_match_rust_golden_jvm(spark):
+    low = _case_outputs(spark, lambda s: s.string().to_lowercase())
+    up = _case_outputs(spark, lambda s: s.string().to_uppercase())
+    for i, (v, rl, ru) in enumerate(_CASE_GOLDEN):
+        assert low[i] == rl, f"lower({v!r}): jvm={low[i]!r} rust={rl!r}"
+        assert up[i] == ru, f"upper({v!r}): jvm={up[i]!r} rust={ru!r}"
+
+
+def test_case_transforms_match_rust_golden_fused_pandas(spark):
+    # a custom transform in the chain routes the whole chain through the
+    # fused pandas stage — same golden outputs required there
+    low = _case_outputs(
+        spark, lambda s: s.string().transform(lambda v: v).to_lowercase()
+    )
+    up = _case_outputs(
+        spark, lambda s: s.string().transform(lambda v: v).to_uppercase()
+    )
+    for i, (v, rl, ru) in enumerate(_CASE_GOLDEN):
+        assert low[i] == rl, f"lower({v!r}): pandas={low[i]!r} rust={rl!r}"
+        assert up[i] == ru, f"upper({v!r}): pandas={up[i]!r} rust={ru!r}"
+
+
+@given(st.lists(
+    st.text(st.sampled_from(list("aAßΣσςİı ﬁŉxX中")), max_size=12),
+    min_size=1, max_size=40,
+))
+@settings(**_SETTINGS)
+def test_case_transform_paths_agree(spark, values):
+    """JVM and fused-pandas case paths must agree on arbitrary input drawn
+    from the SpecialCasing-heavy alphabet."""
+    s = schema()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, v string"
+    )
+    jvm = ValidationPlan(
+        s.object().field("v", s.string().to_lowercase().to_uppercase())
+    )
+    pand = ValidationPlan(
+        s.object().field(
+            "v", s.string().transform(lambda x: x).to_lowercase().to_uppercase()
+        )
+    )
+    a = {r["i"]: r["v"] for r in jvm.apply(df).select("i", "v").collect()}
+    b = {r["i"]: r["v"] for r in pand.apply(df).select("i", "v").collect()}
+    for i, v in enumerate(values):
+        assert a[i] == b[i], f"{v!r}: jvm={a[i]!r} pandas={b[i]!r}"

@@ -44,9 +44,16 @@ from schema_validator_spark.operators.stats import profile
 from schema_validator_spark.operators.uniqueness import duplicate_keys
 from schema_validator_spark.sources.webpages import web_page_schema
 
-cpus = int(sys.argv[1]); data = sys.argv[2]; repeats = int(sys.argv[3])
-spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus,
-                  driver_mem=f"{cpus}g")  # 1 GiB per core, both levels
+cfg = json.loads(sys.argv[1]); data = sys.argv[2]; repeats = int(sys.argv[3])
+if "master" in cfg:
+    # separate-JVM executors (local-cluster): 1 GiB/core in each executor
+    spark = get_spark(app_name="scaling-lc", master=cfg["master"],
+                      cpus=cfg["total"], executor_mem=cfg["executor_mem"],
+                      driver_mem="4g")
+else:
+    cpus = cfg["cpus"]
+    spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus,
+                      driver_mem=f"{cpus}g")  # 1 GiB per core, both levels
 df = spark.read.parquet(data)
 plan = ValidationPlan(web_page_schema())
 
@@ -68,7 +75,7 @@ for _ in range(repeats):
         if k == "validate":
             n = sum(r["total"] for r in out)
 total = sum(best.values())
-print(json.dumps({"cpus": cpus, "rows": n, "sec": round(total, 2),
+print(json.dumps({"cfg": cfg, "rows": n, "sec": round(total, 2),
                   "phases": {k: round(v, 2) for k, v in best.items()},
                   "docs_per_sec": n / total}))
 """
@@ -79,8 +86,15 @@ import json, sys, time
 sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 from schema_validator_spark.session import get_spark
-cpus = int(sys.argv[1])
-spark = get_spark(app_name=f"ctl-{cpus}", cpus=cpus, driver_mem=f"{cpus}g")
+cfg = json.loads(sys.argv[1])
+if "master" in cfg:
+    spark = get_spark(app_name="ctl-lc", master=cfg["master"],
+                      cpus=cfg["total"], executor_mem=cfg["executor_mem"],
+                      driver_mem="4g")
+    cpus = cfg["total"]
+else:
+    cpus = cfg["cpus"]
+    spark = get_spark(app_name=f"ctl-{cpus}", cpus=cpus, driver_mem=f"{cpus}g")
 df = spark.range(0, 20_000_000_000, numPartitions=cpus * 4)
 best = float("inf")
 for _ in range(4):
@@ -106,9 +120,9 @@ def _gen():
     open(MARKER, "w").write(str(N_ROWS))
 
 
-def _run(cpus: int, script: str = None) -> dict:
+def _run(cfg: dict, script: str = None, repeats: int = REPEATS) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", script or _WORKER, str(cpus), DATA, str(REPEATS)],
+        [sys.executable, "-c", script or _WORKER, json.dumps(cfg), DATA, str(repeats)],
         capture_output=True,
         text=True,
         check=True,
@@ -116,23 +130,51 @@ def _run(cpus: int, script: str = None) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _lc_cfg(workers: int, cores: int) -> dict:
+    """local-cluster spec with 1 GiB/core executors (+25% worker headroom)."""
+    return {
+        "master": f"local-cluster[{workers},{cores},{cores * 1280}]",
+        "total": workers * cores,
+        "executor_mem": f"{cores}g",
+    }
+
+
 def main():
     _gen()
-    lo = _run(8)
-    hi = _run(32)
+    lo = _run({"cpus": 8})
+    hi = _run({"cpus": 32})
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     # hardware control: pure cache-resident ALU work (range + xxhash64 + sum),
     # no input scan, no strings, no shuffle — the best ANY job can scale on
     # this box, bounded by all-core clock scaling
-    clo = _run(8, _CONTROL)
-    chi = _run(32, _CONTROL)
+    clo = _run({"cpus": 8}, _CONTROL)
+    chi = _run({"cpus": 32}, _CONTROL)
     ctl_eff = clo["sec"] / (4 * chi["sec"])
+    # separate-JVM executor datapoint (real multi-executor isolation): the
+    # SAME job on a local-cluster master, N=1 executor vs 4N=4 executors with
+    # identical per-executor cores+memory — the literal shape of the north
+    # rule's "N and 4N executors" criterion.
+    # 2-core executors: at 2→8 total cores the box's all-core clock penalty is
+    # smallest (pure-compute control ≈0.84 vs ≈0.70 at 8→32), so this pair
+    # measures executor-scaling rather than silicon throttling
+    lc_cores = int(os.environ.get("SPARK_GRAFT_LC_CORES", "2"))
+    lc_lo = _run(_lc_cfg(1, lc_cores), repeats=4)
+    lc_hi = _run(_lc_cfg(4, lc_cores), repeats=4)
+    lc_eff = lc_hi["docs_per_sec"] / (4 * lc_lo["docs_per_sec"])
+    lc_clo = _run(_lc_cfg(1, lc_cores), _CONTROL)
+    lc_chi = _run(_lc_cfg(4, lc_cores), _CONTROL)
+    lc_ctl_eff = lc_clo["sec"] / (4 * lc_chi["sec"])
     report = {
         "local8": lo,
         "local32": hi,
         "scaling_efficiency_8_to_32": round(eff, 3),
         "control_pure_compute_efficiency": round(ctl_eff, 3),
         "normalized_vs_control": round(eff / ctl_eff, 3),
+        "local_cluster_1x%d" % lc_cores: lc_lo,
+        "local_cluster_4x%d" % lc_cores: lc_hi,
+        "lc_scaling_efficiency": round(lc_eff, 3),
+        "lc_control_efficiency": round(lc_ctl_eff, 3),
+        "lc_normalized_vs_control": round(lc_eff / lc_ctl_eff, 3),
     }
     print(json.dumps(report))
 
@@ -140,6 +182,11 @@ def main():
         f"| {k} | {lo['phases'][k]:.2f} | {hi['phases'][k]:.2f} | "
         f"{lo['phases'][k] / (4 * hi['phases'][k]):.2f} |"
         for k in lo["phases"]
+    )
+    lc_phase_rows = "\n".join(
+        f"| {k} | {lc_lo['phases'][k]:.2f} | {lc_hi['phases'][k]:.2f} | "
+        f"{lc_lo['phases'][k] / (4 * lc_hi['phases'][k]):.2f} |"
+        for k in lc_lo["phases"]
     )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -184,6 +231,27 @@ Per-phase breakdown (best wall seconds, and per-phase efficiency):
 | phase | local[8] s | local[32] s | efficiency |
 |---|---|---|---|
 {phase_rows}
+
+## Separate-JVM executors (local-cluster): the literal N → 4N executor shape
+
+The criterion's own shape — **N vs 4N executors**, per-executor cores and
+memory held IDENTICAL ({lc_cores} cores + {lc_cores} GiB heap each, fresh
+pre-touched JVM per executor; only the executor COUNT changes 1 → 4):
+
+| config | executors | total cores | wall (s) | validated docs/sec |
+|---|---|---|---|---|
+| local-cluster[1,{lc_cores},…] (N)  | 1 | {lc_cores} | {lc_lo["sec"]:.2f} | {lc_lo["docs_per_sec"]:,.0f} |
+| local-cluster[4,{lc_cores},…] (4N) | 4 | {4 * lc_cores} | {lc_hi["sec"]:.2f} | {lc_hi["docs_per_sec"]:,.0f} |
+
+**Scaling efficiency (N→4N executors) = {lc_eff:.3f}**
+(pure-compute control over the same {lc_cores}→{4 * lc_cores} cores:
+{lc_ctl_eff:.3f}; normalized: {lc_eff / lc_ctl_eff:.3f}).
+
+Per-phase (local-cluster):
+
+| phase | 1 executor s | 4 executors s | efficiency |
+|---|---|---|---|
+{lc_phase_rows}
 
 The plan shapes are the ones that scale on a real cluster: validation is a
 stateless whole-stage-codegen projection (zero shuffle), profile is a
