@@ -31,6 +31,7 @@ from schema_validator_spark.operators import dedup as D
 from schema_validator_spark.operators import drift as DR
 from schema_validator_spark.operators import multimodal as MM
 from schema_validator_spark.operators import referential as R
+from schema_validator_spark.operators import sampling as SAMP
 from schema_validator_spark.operators import similarity as SIM
 from schema_validator_spark.operators import stats as ST
 from schema_validator_spark.operators import textquality as TQ
@@ -574,10 +575,12 @@ def q_windowed_events(spark, sf_dir):
 
 
 def q_psi_drift(spark, sf_dir):
+    """Single-pass PSI: both eras counted in one groupBy(era, bucket) scan
+    (identical arithmetic to the two-scan DR.psi — same oracle)."""
     docs = _t(spark, sf_dir, "documents")
-    baseline = docs.where(F.col("doc_id") < 250)
-    current = docs.where(F.col("doc_id") >= 250)
-    value = DR.psi(baseline, current, "n_chars", 0.0, 640.0, 16)
+    value = DR.psi_single_pass(
+        docs, "n_chars", F.col("doc_id") < 250, 0.0, 640.0, 16
+    )
     return spark.createDataFrame(
         [("n_chars", round(value, 4), value > 0.25)],
         "col_name string, psi double, drifted boolean",
@@ -652,6 +655,28 @@ def q_near_dup_clusters(spark, sf_dir):
     labelled with the smallest doc_id in its near-dup group."""
     pairs = q_minhash_near_dups(spark, sf_dir).select("id_a", "id_b")
     return D.near_dup_clusters(pairs)
+
+
+def q_cluster_keep_best(spark, sf_dir):
+    """Dedup loop closed end-to-end: MinHash-LSH pairs → connected
+    components → keep the highest-scoring doc per cluster (ties: smallest
+    id); unpaired docs survive as their own singleton cluster."""
+    docs = _planted_text_union(spark, sf_dir).withColumn(
+        "score", F.octet_length("text").cast("bigint")
+    )
+    pairs = q_minhash_near_dups(spark, sf_dir).select("id_a", "id_b")
+    out = D.keep_best_per_cluster(docs, pairs, "doc_id", "score")
+    return out.select("doc_id", "cluster_id", "score")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling quota: md5-keyed decision —
+    reproducible across engines and re-runs, pure filter (no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.sample_stratified(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0}, default_rate=0.2
+    )
+    return out.select("doc_id", "lang")
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -860,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "minhash_near_dups": q_minhash_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
+        "cluster_keep_best": q_cluster_keep_best,
+        "sample_stratified": q_sample_stratified,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
@@ -961,6 +988,16 @@ def _md5_60bit_sql(expr: str) -> str:
     terms = [
         f"((strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)::BIGINT << {4 * (15 - i)})"
         for i in range(1, 16)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _md5_24bit_sql(expr: str) -> str:
+    """First 6 hex nibbles of md5(expr) as a BIGINT — mirrors
+    operators.sampling.sample_hash's numerator."""
+    terms = [
+        f"((strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)::BIGINT << {4 * (6 - i)})"
+        for i in range(1, 7)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -1354,6 +1391,65 @@ walk(id, label) AS (
   SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
 )
 SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+""",
+        "cluster_keep_best": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (
+  SELECT _id,
+    [list_aggregate(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)), 'min')
+     FOR h IN generate_series(0, 31)] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT _id, sig, b.b AS band,
+    md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.sig AS sa, r.sig AS sb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l._id < r._id
+),
+mh AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len([i FOR i IN generate_series(1, 32) IF sa[i] = sb[i]]) / 32.0 >= 0.5
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM mh UNION ALL SELECT id_b, id_a FROM mh),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.id
+),
+labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+docs AS (SELECT _id AS doc_id, strlen(text) AS score FROM base),
+clustered AS (
+  SELECT d.doc_id, l.cluster_id, d.score
+  FROM docs d JOIN labels l ON d.doc_id = l.id
+),
+best AS (
+  SELECT doc_id, cluster_id, score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM clustered
+  ) WHERE rn = 1
+),
+single AS (
+  SELECT d.doc_id, d.doc_id AS cluster_id, d.score
+  FROM docs d LEFT JOIN labels l ON d.doc_id = l.id WHERE l.id IS NULL
+)
+SELECT doc_id, cluster_id, score FROM best
+UNION ALL
+SELECT doc_id, cluster_id, score FROM single
+""",
+        "sample_stratified": f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    {_md5_24bit_sql("CAST(doc_id AS VARCHAR)")} / 16777216.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE u < CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5 ELSE 0.2 END
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

@@ -40,6 +40,8 @@ HEADLINE = [
     "minhash_near_dups_fast",
     "simhash_near_dups_fast",
     "cosine_topk",
+    "ivf_topk",
+    "run_full",
     "web_pages_full_plan",
 ]
 

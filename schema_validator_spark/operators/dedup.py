@@ -540,6 +540,44 @@ def embedding_near_duplicates(
     return pairs.where(F.col("cosine") >= threshold)
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Close the dedup loop: given near-dup candidate ``pairs``, keep ONE
+    representative per connected component — the highest-``score_col`` doc
+    (ties: smallest id).  Docs in no pair survive untouched.
+
+    Output: docs columns + ``cluster_id`` (smallest id in the component;
+    singletons are their own cluster) filtered to the representatives.
+
+    Scale shape: connected components via min-label propagation
+    (``near_dup_clusters``), then one window over (cluster_id) — the window
+    partitions are near-dup groups (tiny), so the rank shuffle carries only
+    clustered docs; unclustered docs bypass the shuffle entirely via the
+    left-anti fast path.
+    """
+    from pyspark.sql import Window
+
+    labels = near_dup_clusters(pairs, max_iter=max_iter)
+    clustered = docs.join(labels, docs[id_col] == labels["id"]).drop("id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    best = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    singletons = docs.join(
+        labels, docs[id_col] == labels["id"], "left_anti"
+    ).withColumn("cluster_id", F.col(id_col))
+    return best.unionByName(singletons)
+
+
 def dim_hint(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (metadata probe)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()

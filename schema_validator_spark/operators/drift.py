@@ -78,6 +78,44 @@ def ks_statistic(
     return max(abs(ecdf(qa, x) - ecdf(qb, x)) for x in grid) if grid else 0.0
 
 
+def psi_single_pass(
+    df: DataFrame,
+    column: str,
+    is_baseline,
+    lo: float,
+    hi: float,
+    nbuckets: int = 20,
+    eps: float = 1e-4,
+) -> float:
+    """PSI with ONE table scan: the two eras live in the same table, split by
+    the ``is_baseline`` boolean Column, so a single
+    ``groupBy(era, bucket).count()`` (map-side combined) replaces the two
+    separate histogram jobs of ``psi``.  At 100 TB the eras are usually
+    different partitions of one table — this is the shape that reads them
+    once.  Arithmetic is identical to ``psi`` (same counts → same value).
+    """
+    bucket = F.width_bucket(
+        F.col(column).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(nbuckets)
+    )
+    rows = (
+        df.where(F.col(column).isNotNull())
+        .select(is_baseline.alias("_b"), bucket.alias("bucket"))
+        .groupBy("_b", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: ≤ 2·(nbuckets+2) rows
+    )
+    bh = {r["bucket"]: r["cnt"] for r in rows if r["_b"]}
+    ch = {r["bucket"]: r["cnt"] for r in rows if not r["_b"]}
+    nb = sum(bh.values()) or 1
+    nc = sum(ch.values()) or 1
+    value = 0.0
+    for b in range(nbuckets + 2):
+        p = max(bh.get(b, 0) / nb, eps)
+        q = max(ch.get(b, 0) / nc, eps)
+        value += (p - q) * math.log(p / q)
+    return value
+
+
 def ks_grid(
     baseline: DataFrame,
     current: DataFrame,

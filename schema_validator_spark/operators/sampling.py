@@ -1,0 +1,54 @@
+"""Deterministic sampling for corpus curation.
+
+Training-data pipelines constantly subsample: per-language quotas, quality
+strata, eval holdouts.  ``df.sample()`` is seed-dependent per partitioning
+and not reproducible across engines, so these operators derive the sampling
+decision from a HASH OF THE ROW KEY — every engine that can md5 agrees on
+which rows survive, re-runs are idempotent, and the decision never depends
+on partition layout.  All native Column expressions (no shuffle, no Python):
+at 100 TB a sample is a filter pushed right against the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Denominator of the sampling hash: first 6 md5 nibbles → 24 bits.
+_HASH_MOD = 1 << 24
+
+
+def sample_hash(key: Column, salt: str = "") -> Column:
+    """Uniform-ish value in [0, 1) derived from md5(salt|key) — deterministic
+    across engines (DuckDB mirror: first 6 hex nibbles via conv)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6), 16, 10)
+    return h.cast("bigint") / F.lit(float(_HASH_MOD))
+
+
+def sample_deterministic(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key-hash falls below ``rate``.  Reproducible: the same
+    key always makes the same decision, so incremental re-runs sample
+    consistently and joins between two same-salt samples line up."""
+    return df.where(sample_hash(F.col(key_col), salt) < rate)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas: keep 100%
+    of low-resource languages, 10% of English).  One filter expression — no
+    shuffle, no per-stratum jobs; Catalyst pushes supported predicates to the
+    scan."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.where(sample_hash(F.col(key_col), salt) < rate)

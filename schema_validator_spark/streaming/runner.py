@@ -67,6 +67,24 @@ def windowed_verdicts(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ``key_cols`` (e.g. url) with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until the
+    watermark passes it, so state size is O(keys per watermark window) — the
+    only dedup shape that survives an unbounded stream.  Duplicates arriving
+    within the watermark of their first occurrence are dropped; a re-crawl
+    months later is a NEW row (by design — cross-era dedup is the batch
+    fingerprint job's role, operators/uniqueness.py)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def write_validated(
     validated: DataFrame,
     out_path: str,

@@ -289,3 +289,47 @@ def test_ngram_hot_shingle_cap(spark):
         df, "doc_id", threshold=0.0, max_doc_freq=None
     ).count()
     assert uncapped == 31 * 30 / 2
+
+
+def test_keep_best_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (7, 5), (9, 5), (5, 99)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.keep_best_per_cluster(docs, pairs, "doc_id", "score").collect()
+    }
+    # cluster {1,2,3}: doc 2 wins (score 30); cluster {7,9}: tie on score ->
+    # smallest id (7); doc 5 untouched singleton
+    assert got == {2: 1, 7: 7, 5: 5}
+
+
+def test_sample_deterministic_and_stratified(spark):
+    from schema_validator_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)], "id long, lang string"
+    )
+    a = sampling.sample_deterministic(df, "id", 0.3)
+    b = sampling.sample_deterministic(df, "id", 0.3)
+    # same keys -> identical decision (no RNG, no partition dependence)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert abs(a.count() / 2000 - 0.3) < 0.05
+    # nested rates: smaller-rate sample is a subset of the larger
+    small = sampling.sample_deterministic(df, "id", 0.1)
+    assert small.exceptAll(a).count() == 0
+
+    strat = sampling.sample_stratified(
+        df, "id", "lang", {"de": 1.0}, default_rate=0.2
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["de"] == 1000          # rate 1.0 keeps everything
+    assert abs(by_lang["en"] / 1000 - 0.2) < 0.06

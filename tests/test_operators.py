@@ -98,6 +98,17 @@ def test_drift_psi_and_ks(spark):
     assert drift.ks_statistic(a, b, "v") > 0.3
     rep = drift.drift_report(a, b, "v", 0, 150, 15)
     assert rep["drifted"] is True
+    # single-pass era-split variant computes the IDENTICAL value (same
+    # counts, same fold) from one scan
+    u = a.select("v", F.lit(True).alias("is_b")).unionAll(
+        b.select("v", F.lit(False).alias("is_b"))
+    )
+    assert drift.psi_single_pass(u, "v", F.col("is_b"), 0, 150, 15) == drift.psi(
+        a, b, "v", 0, 150, 15
+    )
+    # fixed-grid KS: deterministic sketch variant flags the same shift
+    assert drift.ks_grid(a, a, "v", 0, 150, 15) < 0.01
+    assert drift.ks_grid(a, b, "v", 0, 150, 15) > 0.3
 
 
 def test_ks_exact_manual(spark):

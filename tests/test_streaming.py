@@ -100,3 +100,32 @@ def test_windowed_verdicts(spark, plan, source_dir, tmp_path):
             "failed_rows", "pass"}
     got_cols = set(spark.read.parquet(out).columns)
     assert cols <= got_cols
+
+
+def test_dedup_stream_bounded_state(spark, tmp_path):
+    from schema_validator_spark.streaming.runner import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    rows = [
+        (i, "https://ex.com/%d" % (i % 5), "2024-01-01 00:00:%02d" % i)
+        for i in range(20)  # 20 rows, 5 distinct urls, all within the watermark
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, ts string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, url string, ts timestamp"
+    ).parquet(src)
+    deduped = dedup_stream(stream, ["url"], "ts", watermark="10 minutes")
+    out = str(tmp_path / "dout")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dchk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # one survivor per url within the watermark
+    assert got.select("url").distinct().count() == 5
