@@ -819,6 +819,23 @@ def q_corpus_filter(spark, sf_dir):
     return kept.select("doc_id", "lang", "quality", "fingerprint")
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Cross-document duplication signal (RefinedWeb-style): fraction of each
+    doc's distinct 3-grams that appear in another doc.  Planted copies score
+    near 1.0 against their originals."""
+    u = _planted_text_union(spark, sf_dir)
+    return TQ.duplicate_ngram_fraction(u, "doc_id", n_gram=3)
+
+
+def q_intra_repetition(spark, sf_dir):
+    """Within-document repetition (Gopher-style): 1 − distinct/total word
+    3-grams, pure per-row native expression."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id", TQ.intra_doc_repetition(F.col("text"), 3).alias("repetition")
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return df.select(
@@ -897,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_counts": q_language_counts,
         "token_totals": q_token_totals,
         "corpus_filter": q_corpus_filter,
+        "dup_ngrams": q_dup_ngrams,
+        "intra_repetition": q_intra_repetition,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "frame_samples": q_frame_samples,
@@ -1678,6 +1697,29 @@ f AS (
   FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
 )
 SELECT doc_id, lang, quality, fingerprint FROM filtered WHERE rn = 1
+""",
+        "dup_ngrams": f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT _id, unnest(sh) AS g FROM sh),
+dfq AS (SELECT g, count(*) AS dfc FROM ex GROUP BY g)
+SELECT _id AS doc_id,
+  round(CAST(sum((dfc > 1)::BIGINT) AS DOUBLE) / count(*), 6) AS dup_ngram_frac,
+  count(*) AS n_ngrams
+FROM ex JOIN dfq USING (g) GROUP BY _id
+""",
+        "intra_repetition": f"""
+WITH d AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL),
+w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM d),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)]
+      ELSE [t] END AS grams
+  FROM w
+)
+SELECT doc_id,
+  round(1.0 - len(list_distinct(grams)) / greatest(len(grams), 1)::DOUBLE, 6) AS repetition
+FROM g
 """,
         "winnow_fingerprint": f"""
 WITH d AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL)

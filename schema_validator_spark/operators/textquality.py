@@ -137,3 +137,58 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
     )
+
+
+def intra_doc_repetition(text: Column, n_gram: int = 3) -> Column:
+    """Gopher-style within-document repetition: 1 − distinct/total word
+    n-grams.  High values flag boilerplate/spam (repeated phrases).  Native
+    array expressions, zero shuffle — a pure per-row signal."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    words = F.split(normalized, " ")
+    count = F.size(words)
+    grams = F.when(
+        count >= n_gram,
+        F.transform(
+            F.sequence(F.lit(1), count - (n_gram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n_gram)),
+        ),
+    ).otherwise(F.array(normalized))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.round(
+        F.lit(1.0) - distinct / F.greatest(total, F.lit(1)).cast("double"), 6
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str = "text", n_gram: int = 3
+) -> DataFrame:
+    """RefinedWeb-style cross-document duplication signal: per doc, the
+    fraction of its DISTINCT word n-grams that appear in at least one OTHER
+    document.  Docs built from boilerplate score near 1.0; unique prose near
+    0.0.
+
+    Scale shape: explode → groupBy(shingle) document-frequency (map-side
+    combined) → join back → groupBy(doc).  Two shuffles keyed by shingle and
+    doc id; no all-pairs anything.  Output:
+    (doc_id, dup_ngram_frac, n_ngrams)."""
+    from .dedup import _ensure_parallelism, word_shingles
+
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_sh"))
+    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        ex.join(dfreq, "_g")
+        .groupBy("_id")
+        .agg(
+            F.round(
+                F.sum((F.col("_df") > 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ngram_frac"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+        )
+        .select(F.col("_id").alias("doc_id"), "dup_ngram_frac", "n_ngrams")
+    )

@@ -333,3 +333,26 @@ def test_sample_deterministic_and_stratified(spark):
     }
     assert by_lang["de"] == 1000          # rate 1.0 keeps everything
     assert abs(by_lang["en"] / 1000 - 0.2) < 0.06
+
+
+def test_repetition_and_dup_ngram_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),   # high repetition
+        (2, "each word here is fully distinct from others"),
+        (3, "each word here is fully distinct from others"),  # cross-doc dup of 2
+        (4, "nothing shared with anything else whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", textquality.intra_doc_repetition(F.col("text"), 3).alias("rep")
+        ).collect()
+    }
+    assert rep[1] > 0.8 and rep[2] == 0.0
+    frac = {
+        r["doc_id"]: r["dup_ngram_frac"]
+        for r in textquality.duplicate_ngram_fraction(df, "doc_id", n_gram=3).collect()
+    }
+    assert frac[2] == 1.0 and frac[3] == 1.0   # identical docs: all 3-grams shared
+    assert frac[4] == 0.0
