@@ -488,13 +488,16 @@ def embedding_near_duplicates(
     1 − (1 − 0.955⁸)⁴ ≈ 0.99.  Every candidate is exactly verified, so
     banding only adds recall, never false positives.
     """
-    from .similarity import cosine, hyperplane_signature
+    from .similarity import dot, hyperplane_signature, norm
 
     dim = dim_hint(df, vec_col)
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm folded once per doc (higher-order folds are interpreted — don't
+    # re-fold per candidate pair); value identical, same summation order
     sigged = v.select(
         "_id",
         "_v",
+        norm(F.col("_v")).alias("_n"),
         *[
             hyperplane_signature(
                 F.col("_v"), dim, num_planes, seed + EMBED_BAND_SEED_STRIDE * b
@@ -505,6 +508,7 @@ def embedding_near_duplicates(
     entries = sigged.select(
         "_id",
         "_v",
+        "_n",
         F.explode(
             F.array(
                 *[
@@ -515,7 +519,7 @@ def embedding_near_duplicates(
                 ]
             )
         ).alias("_e"),
-    ).select("_id", "_v", "_e.band", "_e.bucket")
+    ).select("_id", "_v", "_n", "_e.band", "_e.bucket")
     pairs = (
         entries.alias("l")
         .join(
@@ -529,12 +533,16 @@ def embedding_near_duplicates(
             F.col("r._id").alias("id_b"),
             F.col("l._v").alias("_va"),
             F.col("r._v").alias("_vb"),
+            F.col("l._n").alias("_na"),
+            F.col("r._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
         )
     )
     return pairs.where(F.col("cosine") >= threshold)

@@ -54,17 +54,26 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine.  The query side is broadcast —
     corpus is scanned once, never shuffled until the (tiny) top-k window.
-    Output: (query_id, neighbor_id, cosine, rank)."""
+    Output: (query_id, neighbor_id, cosine, rank).
+
+    Norms are aliased in their own projection so each side's ‖v‖ is folded
+    ONCE per row, not once per (query, corpus) pair — higher-order array
+    folds are interpreted (outside codegen), so eliminating redundant folds
+    is the whole ballgame.  Values are bit-identical (same fold order)."""
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-        )
+        ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
+    ).select("neighbor_id", "_cv", norm(F.col("_cv")).alias("_cn"))
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -80,19 +89,36 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     return rng.randn(num_planes, dim).round(6).tolist()
 
 
+def _lit_json(value, ddl: str) -> Column:
+    """A large constant as ONE expression: from_json of a literal string.
+    Catalyst constant-folds it (zero per-row cost), and building it costs a
+    single py4j call instead of one per element — constructing hundreds of
+    nested ``F.lit`` columns client-side dominated ANN plan-build time.
+    ``json.dumps`` emits shortest-round-trip decimals, so parsed doubles are
+    bit-identical to ``F.lit(float)``."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(value)), ddl)
+
+
 def hyperplane_signature(vec: Column, dim: int, num_planes: int = 12, seed: int = 42) -> Column:
     """Random-hyperplane (SRP) signature: bit i = sign(vec · plane_i).
-    Returns a bigint bucket key."""
+    Returns a bigint bucket key.  The plane matrix ships as one folded
+    constant; per-plane bits are summed with the same left-fold arithmetic
+    as the previous unrolled form (identical values)."""
     planes = _hyperplanes(dim, num_planes, seed)
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bits.append(bit.cast("bigint") * F.lit(1 << i).cast("bigint"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    planes_lit = _lit_json(planes, "array<array<double>>")
+    zero = F.lit(0).cast("bigint")
+    bits = F.transform(
+        planes_lit,
+        # shiftleft needs a literal bit count — 2.0**i is exact in double for
+        # i ≤ 52, far above any plane count, so the cast is lossless
+        lambda p, i: F.when(
+            dot(vec, p) >= 0,
+            F.pow(F.lit(2.0), i).cast("bigint"),
+        ).otherwise(zero),
+    )
+    return F.aggregate(bits, zero, lambda acc, x: acc + x)
 
 
 def lsh_topk(
@@ -115,18 +141,20 @@ def lsh_topk(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_cv"),
         hyperplane_signature(F.col(corpus_vec), dim, num_planes, seed).alias("_sig"),
-    )
+    ).select("neighbor_id", "_cv", "_sig", norm(F.col("_cv")).alias("_cn"))
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"),
             F.col(query_vec).alias("_qv"),
             hyperplane_signature(F.col(query_vec), dim, num_planes, seed).alias("_sig"),
-        )
+        ).select("query_id", "_qv", "_sig", norm(F.col("_qv")).alias("_qn"))
     )
     scored = c.join(q, "_sig").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -184,49 +212,71 @@ def ivf_topk(
                 .collect()  # bounded: n_centroids vectors
             )
         ]
-    cent_arrays = [
-        F.array(*[F.lit(float(x)) for x in cent]) for cent in centroids
-    ]
+    import math
 
-    def dist_structs(vec: Column) -> Column:
+    # centroid norms folded ONCE at plan-build time (Python left fold from 0 =
+    # the exact summation order of norm()'s aggregate, so values are
+    # bit-identical to computing them per row); the whole centroid table ships
+    # as ONE folded constant (see _lit_json)
+    cents_lit = _lit_json(
+        [
+            {
+                "v": [float(x) for x in cent],
+                "n": math.sqrt(sum(float(x) * float(x) for x in cent)),
+                "cid": i,
+            }
+            for i, cent in enumerate(centroids)
+        ],
+        "array<struct<v:array<double>,n:double,cid:int>>",
+    )
+
+    def dist_structs(vec: Column, norm_col: Column) -> Column:
         # array<struct<d,cid>> — struct ordering = (distance asc, cid asc),
-        # exactly the old window's tie-break
-        return F.array(
-            *[
-                F.struct(
-                    (1 - cosine(vec, ca)).alias("d"),
-                    F.lit(i).cast("int").alias("cid"),
-                )
-                for i, ca in enumerate(cent_arrays)
-            ]
+        # exactly the old window's tie-break.  Higher-order folds run
+        # interpreted, so the row norm is aliased (folded once) and the
+        # centroid norms are precomputed: n_centroids dot products per row,
+        # not 3×n_centroids folds.
+        return F.transform(
+            cents_lit,
+            lambda s: F.struct(
+                (1 - dot(vec, s["v"]) / (norm_col * s["n"])).alias("d"),
+                s["cid"].alias("cid"),
+            ),
         )
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    )
-    # alias the distance array in its own select: it feeds array_min once but
-    # keeping it a named projection keeps the plan readable and stops any
-    # future second consumer from inlining the n_centroids dot products twice
+    ).select("neighbor_id", "_cv", norm(F.col("_cv")).alias("_cn"))
     assigned = (
-        c.select("neighbor_id", "_cv", dist_structs(F.col("_cv")).alias("_dc"))
+        c.select(
+            "neighbor_id",
+            "_cv",
+            "_cn",
+            dist_structs(F.col("_cv"), F.col("_cn")).alias("_dc"),
+        )
         .select(
-            "neighbor_id", "_cv", F.array_min("_dc")["cid"].alias("centroid_id")
+            "neighbor_id",
+            "_cv",
+            "_cn",
+            F.array_min("_dc")["cid"].alias("centroid_id"),
         )
     )
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-    )
+    ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
     probes = F.broadcast(
         q.select(
             "query_id",
             "_qv",
-            F.slice(F.array_sort(dist_structs(F.col("_qv"))), 1, nprobe).alias(
-                "_probe"
-            ),
+            "_qn",
+            F.slice(
+                F.array_sort(dist_structs(F.col("_qv"), F.col("_qn"))), 1, nprobe
+            ).alias("_probe"),
         ).select(
             "query_id",
             "_qv",
+            "_qn",
             F.explode(F.transform(F.col("_probe"), lambda s: s["cid"])).alias(
                 "centroid_id"
             ),
@@ -239,7 +289,9 @@ def ivf_topk(
     scored = assigned.join(probes, "centroid_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
