@@ -111,11 +111,26 @@ def lang_dim(spark: SparkSession) -> DataFrame:
     )
 
 
-def read_web_pages(spark: SparkSession, location: str) -> DataFrame:
+def read_web_pages(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: "int | None" = None,
+    as_of_timestamp: "int | None" = None,
+) -> DataFrame:
     """Iceberg table if the identifier resolves in a configured catalog,
-    else parquet path (sandbox)."""
+    else parquet path (sandbox).
+
+    ``snapshot_id`` / ``as_of_timestamp`` pin the Iceberg snapshot — the
+    checkpoint manifest (sources/io.py) records the snapshot a partition was
+    validated against, so resume re-reads the SAME data even while the table
+    keeps ingesting.  Ignored on the parquet fallback (no snapshots)."""
     try:
-        return spark.read.format("iceberg").load(location)
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        if as_of_timestamp is not None:
+            reader = reader.option("as-of-timestamp", str(as_of_timestamp))
+        return reader.load(location)
     except Exception:
         return spark.read.parquet(location)
 
