@@ -169,9 +169,11 @@ def duplicate_ngram_fraction(
     0.0.
 
     Scale shape: explode → groupBy(shingle) document-frequency (map-side
-    combined) → join back → groupBy(doc).  Two shuffles keyed by shingle and
-    doc id; no all-pairs anything.  Output:
-    (doc_id, dup_ngram_frac, n_ngrams)."""
+    combined) → join back → groupBy(doc).  Two PASSES over the exploded
+    corpus (build DF stats, then annotate — the textbook shape; the one-pass
+    alternative, collect_list of doc ids per shingle, explodes on hot
+    shingles), two shuffles keyed by shingle and doc id, no all-pairs
+    anything.  Output: (doc_id, dup_ngram_frac, n_ngrams)."""
     from .dedup import _ensure_parallelism, word_shingles
 
     sh = _ensure_parallelism(

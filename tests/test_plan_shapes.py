@@ -1,0 +1,116 @@
+"""Physical-plan shape guards — the 100 TB story lives or dies on these.
+
+Each test asserts the property that makes an operator viable at scale
+(no shuffle on the row path, violation machinery prunable, broadcast where
+broadcast belongs).  A refactor that silently reintroduces an exchange or
+un-prunes the struct machinery fails HERE, not in a cluster bill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_validator_spark import ValidationPlan, schema
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(s: str) -> int:
+    # "BroadcastExchange" contains "Exchange"; Reused ones are reuses, not
+    # new shuffles
+    return (
+        s.count("Exchange")
+        - s.count("BroadcastExchange")
+        - s.count("ReusedExchange")
+    )
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_validation_plan_is_single_stateless_projection(spark):
+    s = schema()
+    plan = ValidationPlan(
+        s.object()
+        .field("text", s.string().min_length(50))
+        .field("lang", s.string().pattern(r"^[a-z]{2}$"))
+        .field("source", s.string().username())
+    )
+    p = _plan(plan.apply(_docs(spark)))
+    assert _shuffles(p) == 0, p
+    assert "ArrowEvalPython" not in p  # native-only schema → zero Python
+
+
+def test_verdict_only_plan_prunes_violation_machinery(spark):
+    s = schema()
+    plan = ValidationPlan(
+        s.object()
+        .field("text", s.string().min_length(50))
+        .field("lang", s.string().pattern(r"^[a-z]{2}$"))
+    )
+    agg = plan.apply(_docs(spark)).agg(
+        F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))
+    )
+    p = _plan(agg)
+    # the violations array, its structs, and message formatting must all be
+    # pruned when only `valid` is consumed (pure-boolean conjunction design)
+    assert "violations" not in p, p
+    assert "format_string" not in p, p
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    from schema_validator_spark.operators import sampling
+
+    out = sampling.sample_stratified(
+        _docs(spark), "doc_id", "lang", {"en": 0.5}, default_rate=0.2
+    )
+    p = _plan(out)
+    assert _shuffles(p) == 0, p
+    assert p.count("Scan parquet") == 1
+
+
+def test_ivf_assignment_has_no_shuffle_before_topk(spark):
+    from schema_validator_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    out = SIM.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        corpus_id="vec_id",
+        query_id="vec_id",
+        centroids=cents,
+    )
+    p = _plan(out)
+    # corpus: scan → argmin projection → broadcast join; the ONLY shuffle is
+    # the final per-query top-k window over the candidate set
+    assert _shuffles(p) == 1, p
+    assert "BroadcastExchange" in p
+
+
+def test_broadcast_referential_keeps_fact_side_unshuffled(spark):
+    from schema_validator_spark.operators.referential import orphans
+
+    dim = spark.createDataFrame([(f"src{i}",) for i in range(15)], "code string")
+    out = orphans(_docs(spark), dim, ["source"], ["code"], strategy="broadcast")
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    # the FACT side streams straight from the scan into the join (the only
+    # permissible shuffle is the dedup of the tiny DIM side pre-broadcast)
+    assert _shuffles(p) <= 1, p
+    import re
+
+    left_child = p.split("BroadcastHashJoin", 1)[1]
+    fact_branch = left_child.split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in fact_branch, p
+    assert re.search(r"FileScan parquet", fact_branch), p
