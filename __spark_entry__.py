@@ -459,6 +459,15 @@ def q_table_constraints(spark, sf_dir):
     return sv.ValidationPlan(obj).table_violations(df, dims={"src_dim": dim})
 
 
+def q_violations_sample(spark, sf_dir):
+    """Bounded triage sample: first 25 violations per (field, code) ordered
+    by doc_id — the shape a human debugs with at 10^12 rows, carrying the
+    logical error_type alongside code/message."""
+    plan = _flagship_plan()
+    v = plan.apply(_t(spark, sf_dir, "documents"))
+    return plan.violations_sample(v, ["doc_id"], per_code=25)
+
+
 def q_object_transform(spark, sf_dir):
     """Object-level transform (TransformedObjectSchema, reference
     object.rs:189-199, 319-332): validate the whole object, then map the
@@ -892,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphans_events": q_orphans_events,
         "orphans_shuffle_hash": q_orphans_shuffle_hash,
         "table_constraints": q_table_constraints,
+        "violations_sample": q_violations_sample,
         "object_transform": q_object_transform,
         "run_full": q_run_full,
         "fingerprint_dups": q_fingerprint_dups,
@@ -1272,6 +1282,30 @@ FROM documents
 WHERE source IS NOT NULL
   AND source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7',
                      'src8','src9','src10','src11','src12','src13','src14')
+""",
+        "violations_sample": f"""
+WITH v AS ({_FLAGSHIP_VIOL_SQL}),
+u AS (
+  SELECT doc_id,
+    string_split(x, '|')[1] AS field,
+    string_split(x, '|')[2] AS code,
+    string_split(x, '|')[3] AS message
+  FROM (SELECT doc_id, unnest([v1, v2, v3]) AS x FROM v)
+  WHERE x IS NOT NULL
+),
+e AS (
+  SELECT doc_id, field, code, message,
+    CASE WHEN code = 'MISSING_FIELD' THEN 'Missing'
+         WHEN code = 'MIN_LENGTH_ERROR' THEN 'MinLength'
+         ELSE 'Pattern' END AS error_type
+  FROM u
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY field, code ORDER BY doc_id) AS rn
+  FROM e
+)
+SELECT doc_id, field, code, message, error_type, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 25
 """,
         "object_transform": """
 SELECT doc_id,

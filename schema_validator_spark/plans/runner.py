@@ -94,6 +94,35 @@ class ValidationPlan:
             F.col("v.error_type").alias("error_type"),
         )
 
+    def violations_sample(
+        self,
+        validated: DataFrame,
+        key_cols: Sequence[str],
+        per_code: int = 100,
+    ) -> DataFrame:
+        """Bounded violation triage sample: at 10^12 rows the violations
+        table is itself big data, but a human debugging a red verdict needs
+        ~100 EXAMPLES per failure code, not 10^10 rows.  Keeps the first
+        ``per_code`` violations per (field, code), deterministically ordered
+        by the key columns — reproducible across runs and engines.
+
+        Scale shape: the window partitions by (field, code) — cardinality =
+        schema size × error kinds, i.e. tiny — and WindowGroupLimit pushes
+        the rank filter map-side, so the shuffle carries at most
+        per_code × partitions rows."""
+        v = self.violations(validated, key_cols)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("field", "code").orderBy(
+            *[F.col(k) for k in key_cols]
+        )
+        return (
+            v.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= per_code)
+            .select(*key_cols, "field", "code", "message", "error_type",
+                    F.col("_rn").cast("int").alias("rn"))
+        )
+
     def object_error(self) -> Column:
         """Row-level OBJECT_ERROR rendering (error.rs:113-117): NULL when the
         row passed, else struct(code, message).  set_message on the object

@@ -376,3 +376,25 @@ def test_error_type_survives_set_message(spark):
     assert any(
         r["code"] == "MISSING_FIELD" and r["error_type"] == "Missing" for r in rows
     )
+
+
+def test_violations_sample_bounded_per_code(spark):
+    s = schema()
+    obj = (
+        s.object()
+        .field("name", s.string().min_length(100))   # everything fails
+        .field("email", s.string().email())          # everything fails
+    )
+    df = spark.createDataFrame(
+        [(i, "x", "nope") for i in range(50)], "id long, name string, email string"
+    )
+    plan = ValidationPlan(obj)
+    rows = plan.violations_sample(plan.apply(df), ["id"], per_code=10).collect()
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r["code"], []).append(r)
+    assert set(by_code) == {"MIN_LENGTH_ERROR", "INVALID_EMAIL"}
+    for code, rs in by_code.items():
+        assert len(rs) == 10                       # bounded
+        assert [r["id"] for r in rs] == list(range(10))  # deterministic order
+        assert rs[0]["error_type"] in ("MinLength", "Pattern")
