@@ -67,6 +67,43 @@ def windowed_verdicts(
     )
 
 
+def windowed_profile(
+    stream_df: DataFrame,
+    columns: list,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming column-profile monitor: per event-time window, the same
+    null-rate/min/max/distinct stats the batch profiler computes — the live
+    feed a drift detector consumes (compare each window's histogram against
+    the baseline era with operators.drift).  Watermark bounds state; the
+    shuffle carries only per-window aggregate buffers."""
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        col = F.col(c)
+        nulls = F.sum(col.isNull().cast("long"))
+        aggs += [
+            F.count(col).alias(f"{c}_count"),
+            nulls.alias(f"{c}_nulls"),
+            (nulls / F.count(F.lit(1))).alias(f"{c}_null_rate"),
+            F.min(col).alias(f"{c}_min"),
+            F.max(col).alias(f"{c}_max"),
+            F.approx_count_distinct(col).alias(f"{c}_distinct"),
+        ]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"))
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "*",
+        )
+        .drop("win")
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     key_cols: list,

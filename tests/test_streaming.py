@@ -129,3 +129,60 @@ def test_dedup_stream_bounded_state(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5  # one survivor per url within the watermark
     assert got.select("url").distinct().count() == 5
+
+
+def test_windowed_profile_stream(spark, tmp_path):
+    from schema_validator_spark.streaming.runner import windowed_profile
+
+    src = str(tmp_path / "psrc")
+    rows = [
+        (i, None if i % 5 == 0 else float(i), "2024-01-01 0%d:00:30" % (i % 3))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, ts string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id long, v double, ts timestamp").parquet(src)
+    # watermark 0s: with availableNow the final watermark = max event time,
+    # so append mode emits every window whose END <= max ts (the last,
+    # still-open window is correctly held back)
+    prof = windowed_profile(
+        stream, ["v"], "ts", window_duration="1 hour", watermark="0 seconds"
+    )
+    out = str(tmp_path / "pout")
+    q = (
+        prof.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "pchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # first two 1-hour windows closed; third held open
+    r = got.orderBy("window_start").collect()[0]
+    assert r["row_count"] == 10 and r["v_nulls"] == 2
+    assert abs(r["v_null_rate"] - 0.2) < 1e-9
+
+
+def test_violations_sample_partition_independent(spark):
+    # deterministic triage sample: identical rows regardless of layout
+    s = schema()
+    pl = ValidationPlan(
+        s.object().field("name", s.string().min_length(100))
+    )
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "id long, name string"
+    )
+    a = sorted(
+        (r["id"], r["code"], r["rn"])
+        for r in pl.violations_sample(pl.apply(df), ["id"], per_code=15).collect()
+    )
+    b = sorted(
+        (r["id"], r["code"], r["rn"])
+        for r in pl.violations_sample(
+            pl.apply(df.repartition(17)), ["id"], per_code=15
+        ).collect()
+    )
+    assert a == b and len(a) == 15
