@@ -244,19 +244,23 @@ class ValidationPlan:
         dims: Optional[dict] = None,
         partition_cols: Sequence[str] = (),
         profile_columns: Optional[Sequence[str]] = None,
+        sample_keys: Sequence[str] = (),
+        sample_per_code: int = 100,
     ) -> dict:
         """The north-star single-schema job: one declared schema → row-level
         validation + per-partition verdicts + single-pass column profile +
-        table-level uniqueness/referential violations.
+        table-level uniqueness/referential violations (+ a bounded
+        per-(field,code) violation triage sample when ``sample_keys`` names
+        the ordering key columns).
 
         Returns lazily-evaluated DataFrames: {"validated", "verdicts",
-        "profile", "table_violations"} — the caller picks which to
-        materialize; the row-level pieces share one scan via the common
-        ``validated`` plan."""
+        "profile", "table_violations"[, "violations_sample"]} — the caller
+        picks which to materialize; the row-level pieces share one scan via
+        the common ``validated`` plan."""
         from ..operators.stats import profile as profile_op
 
         validated = self.apply(df)
-        return {
+        out = {
             "validated": validated,
             "verdicts": self.verdicts(validated, partition_cols),
             "profile": profile_op(
@@ -264,6 +268,11 @@ class ValidationPlan:
             ),
             "table_violations": self.table_violations(df, dims),
         }
+        if sample_keys:
+            out["violations_sample"] = self.violations_sample(
+                validated, sample_keys, per_code=sample_per_code
+            )
+        return out
 
     def validate_as(self, df: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
         """Typed extraction — the analog of ``validate_as::<T>`` /
