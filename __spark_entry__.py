@@ -688,6 +688,17 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Corpus mixing: sample en/de strata down to n_chars (token-proxy)
+    budgets — one totals aggregate, then the same pushed hash filter as
+    stratified sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.sample_to_token_budget(
+        docs, "doc_id", "lang", "n_chars", {"en": 10000.0, "de": 5000.0}
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """md5-bit SimHash family (60-bit fingerprints, 4×15-bit pigeonhole
     blocks) so the whole pipeline — shingle→fingerprint→block→hamming — is
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_keep_best": q_cluster_keep_best,
         "sample_stratified": q_sample_stratified,
+        "sample_token_budget": q_sample_token_budget,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
@@ -1503,6 +1515,21 @@ WITH h AS (
 )
 SELECT doc_id, lang FROM h
 WHERE u < CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5 ELSE 0.2 END
+""",
+        "sample_token_budget": f"""
+WITH tot AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents GROUP BY lang
+),
+h AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+    {_md5_24bit_sql("CAST(d.doc_id AS VARCHAR)")} / 16777216.0 AS u,
+    CASE d.lang
+      WHEN 'de' THEN least(5000.0 / t.t, 1.0)
+      WHEN 'en' THEN least(10000.0 / t.t, 1.0)
+      ELSE 0.0 END AS rate
+  FROM documents d JOIN tot t ON d.lang = t.lang
+)
+SELECT doc_id, lang, n_chars FROM h WHERE u < rate
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

@@ -52,3 +52,37 @@ def sample_stratified(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
     return df.where(sample_hash(F.col(key_col), salt) < rate)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_col: str,
+    budgets: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixing: sample each stratum (source, language, …) down to a
+    TOKEN budget — the pipeline step that turns raw crawls into a training
+    mix ("100B tokens of web, 20B of code…").
+
+    Scale shape: ONE aggregate computes per-stratum token totals (bounded
+    collect — one row per stratum), the keep rate ``min(budget/total, 1)``
+    becomes a constant in the same pushed hash-filter ``sample_stratified``
+    uses — zero shuffle on the data path, expected kept tokens ≈ budget.
+    (An exact-budget variant would need a per-stratum cumulative-sum window
+    — a skewed shuffle of the whole corpus for a tolerance nobody needs;
+    hash-rate sampling concentrates tightly around the budget at corpus
+    scale.)  Strata without a budget are dropped."""
+    totals = {
+        r[strata_col]: r["_t"]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col)).alias("_t"))
+        .collect()  # bounded: one row per stratum
+    }
+    rates = {
+        s: min(float(b) / float(totals[s]), 1.0)
+        for s, b in budgets.items()
+        if totals.get(s)
+    }
+    return sample_stratified(df, key_col, strata_col, rates, 0.0, salt)

@@ -356,3 +356,25 @@ def test_repetition_and_dup_ngram_signals(spark):
     }
     assert frac[2] == 1.0 and frac[3] == 1.0   # identical docs: all 3-grams shared
     assert frac[4] == 0.0
+
+
+def test_sample_to_token_budget(spark):
+    from schema_validator_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 100) for i in range(2000)],
+        "id long, lang string, tokens long",
+    )
+    # en total = 100k tokens; budget 10k -> rate 0.1; de unbudgeted -> dropped
+    out = sampling.sample_to_token_budget(
+        df, "id", "lang", "tokens", {"en": 10_000.0}
+    )
+    rows = out.collect()
+    assert all(r["lang"] == "en" for r in rows)
+    kept_tokens = sum(r["tokens"] for r in rows)
+    assert abs(kept_tokens - 10_000) / 10_000 < 0.25  # hash-rate ≈ budget
+    # budget above total clamps to keep-everything
+    all_en = sampling.sample_to_token_budget(
+        df, "id", "lang", "tokens", {"en": 10_000_000.0}
+    )
+    assert all_en.count() == 1000
