@@ -878,6 +878,12 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_resize_media(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_table_from_text(docs, "doc_id")
+    return MM.resize_media(media, target_bytes=256, fake=True)
+
+
 def q_frame_samples(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = MM.media_table_from_text(docs, "doc_id")
@@ -940,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_repetition": q_intra_repetition,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "resize_media": q_resize_media,
         "frame_samples": q_frame_samples,
     }
 
@@ -1800,6 +1807,15 @@ SELECT doc_id AS media_id,
   ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0 AS f1,
   ((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0 AS f2,
   ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0 AS f3
+FROM d
+""",
+        "resize_media": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+SELECT doc_id AS media_id,
+  'image/fake' AS media_type,
+  octet_length(encode(t)) AS orig_bytes,
+  least(octet_length(encode(t)), 256) AS resized_bytes,
+  md5(substr(t, 1, 256)) AS resized_hash
 FROM d
 """,
         "frame_samples": """

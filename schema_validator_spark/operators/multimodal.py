@@ -115,6 +115,52 @@ def sample_frames(
     return df.mapInPandas(run, out_ddl)
 
 
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize/downscale stub: real implementation would decode + rescale via
+    Pillow/libav; the deterministic fake truncates the payload to
+    ``target_bytes`` (byte-window stand-in, same spirit as sample_frames).
+    The Spark shape is the real part: Arrow-batched mapInPandas, payload
+    dropped from the output so downstream stages shuffle only small rows."""
+    out_ddl = (
+        "media_id bigint, media_type string, orig_bytes bigint, "
+        "resized_bytes bigint, resized_hash string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, orig, res, hashes = [], [], [], [], []
+            for mid, mtype, payload in zip(
+                pdf[id_col], pdf[type_col], pdf[payload_col]
+            ):
+                if not fake:
+                    raise NotImplementedError("real media resize not available")
+                payload = payload or b""
+                resized = payload[:target_bytes]
+                ids.append(mid)
+                types.append(mtype)
+                orig.append(len(payload))
+                res.append(len(resized))
+                hashes.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "orig_bytes": orig,
+                    "resized_bytes": res,
+                    "resized_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, out_ddl)
+
+
 def media_table_from_text(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -112,3 +112,21 @@ def test_frame_sampling_fanout(spark, sf_dir):
              media.select("media_id", F.length("payload").alias("n")).collect()}
     for mid, n in sizes.items():
         assert per_doc[mid] == max((n + 63) // 64, 1)
+
+
+def test_resize_media_stub(spark):
+    from schema_validator_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "a" * 1000), (2, "b" * 10), (3, None)], "doc_id long, text string"
+    )
+    media = MM.media_table_from_text(df, "doc_id")
+    rows = {
+        r["media_id"]: r for r in MM.resize_media(media, target_bytes=256).collect()
+    }
+    assert rows[1]["orig_bytes"] == 1000 and rows[1]["resized_bytes"] == 256
+    assert rows[2]["orig_bytes"] == 10 and rows[2]["resized_bytes"] == 10
+    assert rows[3]["orig_bytes"] == 0 and rows[3]["resized_bytes"] == 0
+    import hashlib
+
+    assert rows[1]["resized_hash"] == hashlib.md5(b"a" * 256).hexdigest()
