@@ -878,15 +878,24 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def _ascii_docs(spark, sf_dir):
+    """documents with text sanitized to printable ASCII (1 char = 1 byte) so
+    the byte-windowing media stubs are oracle-expressible: DuckDB's md5 only
+    takes VARCHAR, so a byte slice that may split a multi-byte char can't be
+    replayed there.  The library stays byte-based; only this query substrate
+    is constrained (same regexp on both sides)."""
+    return _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "?")
+    )
+
+
 def q_resize_media(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    media = MM.media_table_from_text(docs, "doc_id")
+    media = MM.media_table_from_text(_ascii_docs(spark, sf_dir), "doc_id")
     return MM.resize_media(media, target_bytes=256, fake=True)
 
 
 def q_frame_samples(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    media = MM.media_table_from_text(docs, "doc_id")
+    media = MM.media_table_from_text(_ascii_docs(spark, sf_dir), "doc_id")
     out = MM.sample_frames(media, every_n_bytes=64, fake=True)
     return out.select(
         "media_id", F.col("frame_no").cast("bigint").alias("frame_no"), "frame_hash"
@@ -1810,7 +1819,11 @@ SELECT doc_id AS media_id,
 FROM d
 """,
         "resize_media": """
-WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', '?', 'g') AS t
+  FROM documents
+)
 SELECT doc_id AS media_id,
   'image/fake' AS media_type,
   octet_length(encode(t)) AS orig_bytes,
@@ -1819,7 +1832,11 @@ SELECT doc_id AS media_id,
 FROM d
 """,
         "frame_samples": """
-WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+WITH d AS (
+  SELECT doc_id,
+    regexp_replace(coalesce(text, ''), '[^\\x20-\\x7E]', '?', 'g') AS t
+  FROM documents
+),
 fr AS (
   SELECT doc_id, t,
     unnest(generate_series(0, greatest(CAST(ceil(strlen(t) / 64.0) AS BIGINT) - 1, 0))) AS g

@@ -27,7 +27,11 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     cheap next to the per-row hashing it unlocks.  No-op when the scan is
     already parallel (the normal case at real scale)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    # Partition count read from the physical plan JVM-side — no Python-RDD
+    # conversion (no serializer pipeline, no Python wrapper); RDD creation is
+    # lazy so this runs no job.  Driver-side only, once per query.
+    n_parts = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    if n_parts < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -71,6 +75,10 @@ def minhash_signature(
     # NB: seeds must be bound via closure factories — a default-arg lambda
     # (lambda s, i=i: ...) would be treated by PySpark as a two-parameter
     # (element, index) lambda and the seed silently replaced by the index.
+    # (A nested transform-over-seed-sequence form builds a 16x smaller plan
+    # but executes ~5x slower: the flat F.array lets SimplifyExtractValueOps
+    # reduce each band's _sig[i] to its single component, and nested lambda
+    # binding is pure interpreted overhead — measured, do not "simplify".)
     def _xx(i: int):
         return lambda s: F.xxhash64(F.lit(i), s)
 
@@ -366,18 +374,29 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
-    block_bits: int = 16,
+    block_bits: "int | None" = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups: block on bit-slices (4 rotations) so only rows
     agreeing on one block are compared — a pigeonhole guarantee for
     max_hamming ≤ 3 over 4 blocks.  Output: (id_a, id_b, hamming).
 
-    hash_fn="md5" uses the 60-bit oracle-checkable fingerprint family —
-    pass ``block_bits=15`` with it to keep the 4-block pigeonhole."""
+    ``block_bits`` defaults to total_bits // (max_hamming + 1) — enough
+    blocks that two fingerprints within ``max_hamming`` MUST agree on one
+    (pigeonhole), for either hash family (64-bit xxhash64 or the 60-bit md5
+    oracle family) and any max_hamming, without the caller remembering; an
+    explicit value that leaves too few blocks is rejected."""
     fp = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
     total_bits = 60 if hash_fn == "md5" else 64
+    if block_bits is None:
+        block_bits = max(total_bits // (max_hamming + 1), 1)
     n_blocks = total_bits // block_bits
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"block_bits={block_bits} gives {n_blocks} blocks over "
+            f"{total_bits}-bit fingerprints — need > max_hamming={max_hamming} "
+            "blocks for the pigeonhole guarantee"
+        )
     mask = (1 << block_bits) - 1
     blocked = fp.select(
         "_id",
@@ -476,9 +495,11 @@ def embedding_near_duplicates(
     num_planes: int = 8,
     bands: int = 4,
     seed: int = 42,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH bucketing + exact
     verification within buckets (see similarity.py for the primitives).
+    Pass ``dim`` (embedding width) to skip the one-row metadata probe job.
 
     Band-amplified like MinHash banding: ``bands`` independent
     ``num_planes``-bit SRP signatures OR'd together — a pair is a candidate
@@ -490,7 +511,8 @@ def embedding_near_duplicates(
     """
     from .similarity import dot, hyperplane_signature, norm
 
-    dim = dim_hint(df, vec_col)
+    if dim is None:
+        dim = dim_hint(df, vec_col)
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     # norm folded once per doc (higher-order folds are interpreted — don't
     # re-fold per candidate pair); value identical, same summation order
@@ -570,18 +592,28 @@ def keep_best_per_cluster(
     """
     from pyspark.sql import Window
 
-    labels = near_dup_clusters(pairs, max_iter=max_iter)
-    clustered = docs.join(labels, docs[id_col] == labels["id"]).drop("id")
-    w = Window.partitionBy("cluster_id").orderBy(
+    if "cluster_id" in docs.columns:
+        raise ValueError(
+            "docs already has a 'cluster_id' column — rename it first "
+            "(keep_best_per_cluster adds its own cluster_id to the output)"
+        )
+    labels = near_dup_clusters(pairs, max_iter=max_iter).select(
+        # private aliases: a docs column named "id" or "cluster_id" must not
+        # collide (drop("id") would silently remove BOTH id columns)
+        F.col("id").alias("_kb_id"), F.col("cluster_id").alias("_kb_cluster")
+    )
+    clustered = docs.join(labels, docs[id_col] == labels["_kb_id"]).drop("_kb_id")
+    w = Window.partitionBy("_kb_cluster").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     best = (
         clustered.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .withColumnRenamed("_kb_cluster", "cluster_id")
     )
     singletons = docs.join(
-        labels, docs[id_col] == labels["id"], "left_anti"
+        labels, docs[id_col] == labels["_kb_id"], "left_anti"
     ).withColumn("cluster_id", F.col(id_col))
     return best.unionByName(singletons)
 

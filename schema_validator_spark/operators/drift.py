@@ -100,6 +100,10 @@ def psi_single_pass(
     rows = (
         df.where(F.col(column).isNotNull())
         .select(is_baseline.alias("_b"), bucket.alias("bucket"))
+        # a NULL era marker belongs to neither histogram — excluding it here
+        # (instead of letting Python truthiness fold None into the current
+        # era) keeps the counts identical to the two-scan ``psi``
+        .where(F.col("_b").isNotNull())
         .groupBy("_b", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()  # bounded: ≤ 2·(nbuckets+2) rows

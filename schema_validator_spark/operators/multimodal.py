@@ -1,11 +1,14 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 
-The decode step itself is STUBBED — the image/audio libraries are not in this
-container — but everything Spark-side is real and tested: the media schema,
-the mapInPandas batch iteration, the UDF signatures, output schemas, and
-partition-preserving behaviour.  Swap ``_decode_stub`` for a real Pillow/
-ffmpeg call and nothing else changes.
+Image decode/resize use Pillow WHEN AVAILABLE (optional import at call time —
+``fake=False`` + Pillow present = real pixels); the deterministic ``fake``
+path remains the test/oracle substrate everywhere, and environments without
+the libraries get a clear NotImplementedError instead of a silent fallback.
+Audio/video frame extraction (libav) remains stubbed.  Everything Spark-side
+is real and tested either way: the media schema, the mapInPandas batch
+iteration, the UDF signatures, output schemas, and partition-preserving
+behaviour.
 
 Scale notes: media blobs make rows wide — mapInPandas streams Arrow batches
 (bounded memory per batch via spark.sql.execution.arrow.maxRecordsPerBatch)
@@ -28,22 +31,52 @@ MEDIA_SCHEMA_DDL = (
 )
 
 
+def _pillow():
+    """Optional import, resolved at call time so the module loads (and the
+    fake path works) in environments without the decoder libraries."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_stub(payload: bytes, media_type: str, fake: bool) -> dict:
-    """Placeholder for the real decoder (Pillow / libav).  With ``fake=True``
-    returns deterministic pseudo-features derived from the bytes so the
-    pipeline is testable end-to-end."""
-    if not fake:
+    """Decoder dispatch.  ``fake=True``: deterministic pseudo-features from
+    the bytes (test/oracle substrate).  ``fake=False``: real Pillow decode
+    for image payloads when Pillow is importable, else NotImplementedError —
+    never a silent fake fallback."""
+    if fake:
+        digest = hashlib.md5(payload or b"").digest()
+        return {
+            "n_bytes": len(payload or b""),
+            "content_hash": digest.hex(),
+            # fake 4-dim "embedding" from the digest — stable across runs
+            "feature": [b / 255.0 for b in digest[:4]],
+        }
+    Image = _pillow()
+    if Image is None or not (media_type or "").startswith("image/"):
         raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this environment; pass fake=True for deterministic stub features"
+            "real decode needs Pillow (images) / libav (audio+video) — not "
+            "available here for this media_type; pass fake=True for "
+            "deterministic stub features"
         )
-    digest = hashlib.md5(payload or b"").digest()
-    return {
-        "n_bytes": len(payload or b""),
-        "content_hash": digest.hex(),
-        # fake 4-dim "embedding" from the digest — stable across runs
-        "feature": [b / 255.0 for b in digest[:4]],
-    }
+    import io
+
+    with Image.open(io.BytesIO(payload or b"")) as img:
+        rgb = img.convert("RGB")
+        w, h = rgb.size
+        # 4-dim feature: normalized mean R/G/B + aspect ratio
+        px = rgb.resize((8, 8))  # bounded work per image
+        data = list(px.getdata())
+        n = len(data) or 1
+        means = [sum(c[i] for c in data) / (255.0 * n) for i in range(3)]
+        return {
+            "n_bytes": len(payload or b""),
+            "content_hash": hashlib.md5(payload or b"").hexdigest(),
+            "feature": means + [w / float(h or 1)],
+        }
 
 
 FEATURES_DDL = (
@@ -123,15 +156,32 @@ def resize_media(
     type_col: str = "media_type",
     fake: bool = True,
 ) -> DataFrame:
-    """Resize/downscale stub: real implementation would decode + rescale via
-    Pillow/libav; the deterministic fake truncates the payload to
-    ``target_bytes`` (byte-window stand-in, same spirit as sample_frames).
-    The Spark shape is the real part: Arrow-batched mapInPandas, payload
-    dropped from the output so downstream stages shuffle only small rows."""
+    """Resize/downscale: with ``fake=False`` + Pillow importable, images are
+    really decoded and thumbnailed (longest side ≤ ``target_bytes`` px,
+    re-encoded PNG); the deterministic fake truncates the payload to
+    ``target_bytes`` BYTES (byte-window stand-in, same spirit as
+    sample_frames).  The Spark shape is the real part either way:
+    Arrow-batched mapInPandas, payload dropped from the output so downstream
+    stages shuffle only small rows."""
     out_ddl = (
         "media_id bigint, media_type string, orig_bytes bigint, "
         "resized_bytes bigint, resized_hash string"
     )
+
+    def _real_resize(payload: bytes, mtype: str) -> bytes:
+        Image = _pillow()
+        if Image is None or not (mtype or "").startswith("image/"):
+            raise NotImplementedError(
+                "real media resize needs Pillow and an image payload; "
+                "pass fake=True for the deterministic byte-window stub"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as img:
+            img.thumbnail((target_bytes, target_bytes))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,10 +189,10 @@ def resize_media(
             for mid, mtype, payload in zip(
                 pdf[id_col], pdf[type_col], pdf[payload_col]
             ):
-                if not fake:
-                    raise NotImplementedError("real media resize not available")
                 payload = payload or b""
-                resized = payload[:target_bytes]
+                resized = (
+                    payload[:target_bytes] if fake else _real_resize(payload, mtype)
+                )
                 ids.append(mid)
                 types.append(mtype)
                 orig.append(len(payload))

@@ -131,12 +131,15 @@ def lsh_topk(
     query_vec: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching SRP buckets.
-    Same output shape as cosine_topk (ranks within retrieved candidates)."""
+    Same output shape as cosine_topk (ranks within retrieved candidates).
+    Pass ``dim`` (embedding width) to skip the one-row metadata probe job."""
     from .dedup import dim_hint
 
-    dim = dim_hint(corpus, corpus_vec)
+    if dim is None:
+        dim = dim_hint(corpus, corpus_vec)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_cv"),
@@ -191,24 +194,20 @@ def ivf_topk(
     when None they are sampled deterministically from the corpus by id-hash.
     """
     if centroids is None:
-        # Deterministic centroid "sample" without a global sort: hash-select
-        # ~n_centroids rows, rank the (tiny) survivor set by id, keep the
-        # first n_centroids.  (No bare ``limit`` — that picks partition-
-        # order-dependent rows and breaks run-to-run determinism.)
-        total = corpus.count()
-        stride = max(total // n_centroids, 1)
-        sampled = corpus.where(
-            F.pmod(F.abs(F.xxhash64(F.col(corpus_id))), F.lit(stride)) == 0
-        )
-        w_cent = Window.orderBy(F.col(corpus_id))  # ~n_centroids rows — trivial
+        # Deterministic pseudo-random centroid sample in ONE bounded job:
+        # global top-n_centroids by id-hash (tie-break id) compiles to
+        # TakeOrderedAndProject — per-partition top-K, driver merges K rows.
+        # No prior count() (the old stride derivation cost a full corpus
+        # scan before any real work), no window, order-independent.
         centroids = [
             r["_cent"]
             for r in (
-                sampled.select(
-                    (F.row_number().over(w_cent) - 1).alias("centroid_id"),
+                corpus.select(
+                    F.col(corpus_id).alias("_cid"),
                     F.col(corpus_vec).alias("_cent"),
                 )
-                .where(F.col("centroid_id") < n_centroids)
+                .orderBy(F.xxhash64(F.col("_cid")).asc(), F.col("_cid").asc())
+                .limit(n_centroids)
                 .collect()  # bounded: n_centroids vectors
             )
         ]

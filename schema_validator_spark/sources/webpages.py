@@ -123,7 +123,12 @@ def read_web_pages(
     ``snapshot_id`` / ``as_of_timestamp`` pin the Iceberg snapshot — the
     checkpoint manifest (sources/io.py) records the snapshot a partition was
     validated against, so resume re-reads the SAME data even while the table
-    keeps ingesting.  Ignored on the parquet fallback (no snapshots)."""
+    keeps ingesting.  When a pin was requested, an Iceberg read failure is
+    re-raised rather than falling back — a bad/expired snapshot id must NOT
+    silently read live parquet data and defeat resume reproducibility.  The
+    parquet fallback (sandbox: no Iceberg catalog) applies only to unpinned
+    reads."""
+    pinned = snapshot_id is not None or as_of_timestamp is not None
     try:
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
@@ -132,6 +137,8 @@ def read_web_pages(
             reader = reader.option("as-of-timestamp", str(as_of_timestamp))
         return reader.load(location)
     except Exception:
+        if pinned:
+            raise
         return spark.read.parquet(location)
 
 
