@@ -583,6 +583,53 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_windowed_profile(spark, sf_dir):
+    """Batch form of streaming.windowed_profile: the SAME aggregation the
+    streaming monitor runs (per event-time window null-rate/min/max/distinct),
+    applied to the events table as a batch frame — F.window works identically
+    in both modes, so a green oracle here byte-checks the streaming kernel.
+    exact_distinct=True swaps HLL for count(DISTINCT) (oracle-replayable)."""
+    from schema_validator_spark.streaming.runner import windowed_profile
+
+    ev = _t(spark, sf_dir, "events")
+    prof = windowed_profile(
+        ev, ["value", "user_id"], "ts", "1 hour", exact_distinct=True
+    )
+    return prof.select(
+        "window_start",
+        "row_count",
+        "value_count",
+        "value_nulls",
+        F.round("value_null_rate", 6).alias("value_null_rate"),
+        F.round("value_min", 4).alias("value_min"),
+        F.round("value_max", 4).alias("value_max"),
+        "value_distinct",
+        "user_id_count",
+        "user_id_distinct",
+    )
+
+
+def q_dedup_stream_batch(spark, sf_dir):
+    """Deterministic batch analog of streaming.dedup_stream's bounded-state
+    dedup: one kept event per (user_id, event_type) per watermark-width
+    event-time bucket — earliest ts wins, ties broken by event_id.  (The
+    streaming operator itself keeps the first ARRIVAL, which is not
+    batch-reproducible; the bucketed earliest-event form is the deterministic
+    equivalent and shares its state-bounding shape.  The real operator is
+    exercised by tests/test_streaming.py::test_dedup_stream_bounded_state.)"""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.window("ts", "1 hour")
+    ).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """Single-pass PSI: both eras counted in one groupBy(era, bucket) scan
     (identical arithmetic to the two-scan DR.psi — same oracle)."""
@@ -932,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_full": q_run_full,
         "fingerprint_dups": q_fingerprint_dups,
         "windowed_events": q_windowed_events,
+        "windowed_profile": q_windowed_profile,
+        "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
         "ks_exact": q_ks_exact,
         "ks_drift": q_ks_drift,
@@ -1067,8 +1116,9 @@ def oracle_sql() -> dict[str, str]:
     # banded SRP signatures for embedding_near_dups: 4 bands × 8 planes,
     # seeds 42 + 1000·b (dedup.EMBED_BAND_SEED_STRIDE)
     srp_bands = [_srp_sig_sql("v", 64, 8, 42 + 1000 * b) for b in range(4)]
-    srp8_c = _srp_sig_sql("cv", 64, 8, 42)
-    srp8_q = _srp_sig_sql("qv", 64, 8, 42)
+    # lsh_topk uses the same 4-band family over corpus (cv) and query (qv)
+    srp_bands_c = [_srp_sig_sql("cv", 64, 8, 42 + 1000 * b) for b in range(4)]
+    srp_bands_q = [_srp_sig_sql("qv", 64, 8, 42 + 1000 * b) for b in range(4)]
     h60 = _md5_60bit_sql("g")
     return {
         "validate_flagship": f"""
@@ -1386,6 +1436,30 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
 """,
+        "windowed_profile": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  count(*) AS row_count,
+  count(value) AS value_count,
+  CAST(sum((value IS NULL)::BIGINT) AS BIGINT) AS value_nulls,
+  round(sum((value IS NULL)::BIGINT) / count(*)::DOUBLE, 6) AS value_null_rate,
+  round(min(value), 4) AS value_min,
+  round(max(value), 4) AS value_max,
+  count(DISTINCT value) AS value_distinct,
+  count(user_id) AS user_id_count,
+  count(DISTINCT user_id) AS user_id_distinct
+FROM events GROUP BY 1
+""",
+        "dedup_stream_batch": """
+WITH r AS (
+  SELECT event_id, user_id, event_type, ts,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, time_bucket(INTERVAL '1 hour', ts)
+      ORDER BY ts ASC, event_id ASC
+    ) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+""",
         "psi_drift": """
 WITH b AS (
   SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 640 THEN 17
@@ -1606,13 +1680,27 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
 """,
         "lsh_topk": f"""
 WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-cs AS (SELECT neighbor_id, cv, {srp8_c} AS sig FROM c),
+ce AS (
+  SELECT neighbor_id, cv, 0 AS band, {srp_bands_c[0]} AS bucket FROM c
+  UNION ALL SELECT neighbor_id, cv, 1, {srp_bands_c[1]} FROM c
+  UNION ALL SELECT neighbor_id, cv, 2, {srp_bands_c[2]} FROM c
+  UNION ALL SELECT neighbor_id, cv, 3, {srp_bands_c[3]} FROM c
+),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-qs AS (SELECT query_id, qv, {srp8_q} AS sig FROM q),
+qe AS (
+  SELECT query_id, qv, 0 AS band, {srp_bands_q[0]} AS bucket FROM q
+  UNION ALL SELECT query_id, qv, 1, {srp_bands_q[1]} FROM q
+  UNION ALL SELECT query_id, qv, 2, {srp_bands_q[2]} FROM q
+  UNION ALL SELECT query_id, qv, 3, {srp_bands_q[3]} FROM q
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, qv, cv
+  FROM ce JOIN qe USING (band, bucket)
+),
 s AS (
   SELECT query_id, neighbor_id,
     round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
-  FROM cs JOIN qs USING (sig)
+  FROM cand
 ), r AS (
   SELECT query_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"

@@ -73,12 +73,19 @@ def windowed_profile(
     ts_col: str,
     window_duration: str = "1 minute",
     watermark: str = "5 minutes",
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Streaming column-profile monitor: per event-time window, the same
     null-rate/min/max/distinct stats the batch profiler computes — the live
     feed a drift detector consumes (compare each window's histogram against
     the baseline era with operators.drift).  Watermark bounds state; the
-    shuffle carries only per-window aggregate buffers."""
+    shuffle carries only per-window aggregate buffers.
+
+    ``exact_distinct`` swaps the HLL sketch for ``count(DISTINCT)`` — only
+    valid on the BATCH form (streaming aggregation can't do exact distinct);
+    it exists so the batch form is bit-reproducible by an external oracle,
+    exactly like ``operators.stats.profile``."""
+    distinct_of = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for c in columns:
         col = F.col(c)
@@ -89,7 +96,7 @@ def windowed_profile(
             (nulls / F.count(F.lit(1))).alias(f"{c}_null_rate"),
             F.min(col).alias(f"{c}_min"),
             F.max(col).alias(f"{c}_max"),
-            F.approx_count_distinct(col).alias(f"{c}_distinct"),
+            distinct_of(col).alias(f"{c}_distinct"),
         ]
     return (
         stream_df.withWatermark(ts_col, watermark)

@@ -117,6 +117,44 @@ def test_lsh_topk_recall(spark, vectors):
     assert got[0] == 0 and 1 in got
 
 
+def test_lsh_topk_banded_recall(spark):
+    # planted neighbor per query at cosine ~0.9: band-amplified retrieval
+    # (8 bands x 8 planes) must place it in the top-k for >= 90% of queries;
+    # a single 8-plane signature caps the candidate probability near
+    # 0.856^8 ~ 0.29, so one band must do strictly worse on the same data
+    rng = np.random.RandomState(23)
+    base = rng.randn(40, 16).astype("float64")
+    rows, planted = [], {}
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        n = v + 0.48 * rng.randn(16)
+        rows.append((2 * i + 1, [float(x) for x in n]))
+        cos = float(v @ n / (np.linalg.norm(v) * np.linalg.norm(n)))
+        if cos >= 0.85:
+            planted[2 * i] = 2 * i + 1
+    assert len(planted) >= 25
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall(bands):
+        got = similarity.lsh_topk(
+            df, q, k=5, num_planes=8, bands=bands, dim=16
+        ).collect()
+        hits = {
+            r["query_id"]
+            for r in got
+            if planted.get(r["query_id"]) == r["neighbor_id"]
+        }
+        return len(hits & set(planted)) / len(planted)
+
+    banded = recall(8)
+    single = recall(1)
+    assert banded >= 0.9, f"banded lsh_topk recall {banded:.2f} < 0.9"
+    assert banded > single, (banded, single)
+
+
 def test_ivf_topk(spark, vectors):
     df, vecs = vectors
     q = df.where(F.col("vec_id") == 0).select(
@@ -215,6 +253,40 @@ def test_near_dup_clusters(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_near_dup_clusters_star_hub(spark):
+    # boilerplate hub: one doc near-dups with 60 others (star, diameter 2) —
+    # the shape one shared boilerplate shingle produces at corpus scale;
+    # min-label propagation must converge in ~2 rounds, not max_iter
+    from schema_validator_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 61)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_near_dup_clusters_high_diameter_chain(spark):
+    # worst-case diameter: a 25-node chain needs 24 propagation rounds; the
+    # default max_iter=20 must come back with a partial labelling (documented
+    # bound — 1 hop per round), and max_iter=diameter must fully converge
+    from schema_validator_spark.operators.dedup import near_dup_clusters
+
+    n = 25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    full = {
+        r["id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, max_iter=n - 1).collect()
+    }
+    assert full == {i: 0 for i in range(n)}
+    partial = {
+        r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert partial[20] == 0 and partial[n - 1] != 0  # 20 hops reached, 40 not
 
 
 def test_simhash_md5_family(spark, near_dup_docs):

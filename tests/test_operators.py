@@ -121,3 +121,24 @@ def test_ks_exact_manual(spark):
     row = ks_exact(b, c, "x").collect()[0]
     assert row["col_name"] == "x"
     assert abs(row["ks"] - 0.5) < 1e-9
+
+
+def test_salted_uniqueness_hot_key(spark):
+    # heavy-tail key: one url-host owns half the rows (the skew the salted
+    # two-phase agg exists for) — salted counts must equal the plain hash-agg
+    # exactly, for every bucket width
+    rows = [(i, "https://hot.example/page") for i in range(500)]
+    rows += [(1000 + i, f"https://cold{i}.example/") for i in range(200)]
+    rows += [(2000 + i, "https://warm.example/x") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    want = {
+        r["url"]: r["dup_count"]
+        for r in uniqueness.duplicate_keys(df, ["url"]).collect()
+    }
+    assert want == {"https://hot.example/page": 500, "https://warm.example/x": 3}
+    for buckets in (2, 32):
+        got = {
+            r["url"]: r["dup_count"]
+            for r in uniqueness.duplicate_counts_salted(df, ["url"], buckets).collect()
+        }
+        assert got == want
