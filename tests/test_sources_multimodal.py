@@ -130,3 +130,33 @@ def test_resize_media_stub(spark):
     import hashlib
 
     assert rows[1]["resized_hash"] == hashlib.md5(b"a" * 256).hexdigest()
+
+
+def _has_pillow():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed")
+def test_multimodal_real_decode_with_pillow(spark):
+    # real path: a genuine PNG through decode + resize (runs wherever Pillow
+    # exists; the sandbox exercises the fake path + the NotImplementedError)
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (32, 16), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, "image/png", png, None)], multimodal.MEDIA_SCHEMA_DDL)
+    feats = multimodal.extract_features(df, fake=False).collect()[0]
+    assert feats["n_bytes"] == len(png)
+    f = feats["feature"]
+    assert abs(f[0] - 1.0) < 1e-6 and f[1] == 0.0 and f[2] == 0.0  # pure red
+    assert abs(f[3] - 2.0) < 1e-6  # 32/16 aspect
+    resized = multimodal.resize_media(df, target_bytes=8, fake=False).collect()[0]
+    assert resized["orig_bytes"] == len(png) and resized["resized_bytes"] > 0

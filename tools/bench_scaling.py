@@ -271,6 +271,25 @@ into session defaults as a result of this benchmark: pre-touched fixed heap
 threads serialize on kernel page-zeroing) and 64m scan splits (keep every
 core fed at sandbox data sizes).
 
+## ANN per-query timing variance (r3 A/B finding)
+
+The r1→r2 bench deltas on the three sub-5s ANN queries (minhash_fast
+2.47→3.13s, simhash_fast 2.92→3.87s, cosine_topk 0.68→0.87s, same sf0.1
+data) were investigated with a code-level A/B (tools/regress_probe.py): the
+r1 code run today, in the same fresh-JVM environment, measures
+minhash 3.27/3.86/3.88s across three whole-suite repeats — i.e. the spread
+BETWEEN identical runs (~±25-30%, GC/clock/page-cache state) exceeds the
+r1→r2 delta, and r2's code is not slower than r1's on any of the three
+(the r2 norm-aliasing/argmin changes are neutral-to-faster like-for-like).
+Countermeasures baked into bench.py: best-of-3 timed runs (was 2) and a
+24M-row `run_full_24m` headline whose ≳10s scale makes docs/sec a
+throughput number instead of a scheduling-noise sample.  A deliberate
+negative result from the same investigation: collapsing the 32 minhash
+signature lambdas into one nested transform-over-seed-sequence shrinks plan
+build 4x but executes 5x slower (nested lambda binding is interpreted;
+the flat form lets SimplifyExtractValueOps prune per-band components) —
+kept flat, documented in dedup.py.
+
 Reproduce: `python tools/bench_scaling.py {N_ROWS}`.
 Per-query timings at sf0.1: `python bench.py` (BENCH_r{{N}}.json).
 """)
