@@ -114,3 +114,29 @@ def test_broadcast_referential_keeps_fact_side_unshuffled(spark):
     fact_branch = left_child.split("BroadcastExchange", 1)[0]
     assert "Exchange" not in fact_branch, p
     assert re.search(r"FileScan parquet", fact_branch), p
+
+
+def test_ivf_centroid_setup_job_counts(spark):
+    # explicit centroids: building the ivf plan must run ZERO Spark jobs
+    # (the r2 default path cost a full corpus count() before any real work);
+    # default centroids: exactly ONE bounded job (TakeOrderedAndProject)
+    from schema_validator_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    cents = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    ]
+    before = n_jobs()
+    SIM.ivf_topk(emb, q, k=5, centroids=cents, corpus_id="vec_id", query_id="vec_id")
+    assert n_jobs() - before == 0
+
+    before = n_jobs()
+    SIM.ivf_topk(emb, q, k=5, n_centroids=4, corpus_id="vec_id", query_id="vec_id")
+    assert n_jobs() - before == 1
