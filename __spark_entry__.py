@@ -583,6 +583,29 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_extract_text(spark, sf_dir):
+    """HTML→text extraction (north-rule invariant: byte-identical extracted
+    text per url) byte-checked end-to-end: both sides render the same HTML
+    around each document's text (head/style block, script block, entities),
+    run the identical dialect-neutral strip/unescape/collapse chain, and the
+    driver hashes the extracted strings."""
+    from schema_validator_spark.sources.webpages import extract_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style></head><body><h1>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p><script>var x = 1 &amp;&amp; 2;</script>"),
+            F.lit("<p>A &amp; B &lt;ok&gt;</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select("doc_id", extract_text(html).alias("extracted"))
+
+
 def q_windowed_profile(spark, sf_dir):
     """Batch form of streaming.windowed_profile: the SAME aggregation the
     streaming monitor runs (per event-time window null-rate/min/max/distinct),
@@ -980,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_full": q_run_full,
         "fingerprint_dups": q_fingerprint_dups,
         "windowed_events": q_windowed_events,
+        "extract_text": q_extract_text,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
@@ -1436,6 +1460,25 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(*) AS n,
   round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "extract_text": """
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><style>p{color:red}</style></head><body><h1>doc '
+      || CAST(doc_id AS VARCHAR) || '</h1><p>' || coalesce(text, '')
+      || '</p><script>var x = 1 &amp;&amp; 2;</script>'
+      || '<p>A &amp; B &lt;ok&gt;</p></body></html>' AS s
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(s, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS extracted
+FROM h
 """,
         "windowed_profile": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

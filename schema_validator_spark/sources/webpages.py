@@ -100,6 +100,39 @@ def generate_web_pages(
     )
 
 
+def extract_text(html):
+    """Extracted text from a raw ``html`` binary column — the north-rule
+    per-row invariant ("byte-identical extracted text per url") made an
+    operator.  Pure native expressions (whole-stage codegen, zero Python):
+
+    1. UTF-8 decode
+    2. drop <script>/<style> blocks (non-greedy, case-insensitive, DOTALL)
+    3. strip remaining tags
+    4. unescape the 6 core entities (&amp; LAST so '&amp;lt;' → '&lt;')
+    5. collapse whitespace runs to one space, trim
+
+    Every regex is dialect-neutral (identical semantics in Java regex and
+    RE2), so an external engine replays the extraction byte-for-byte — the
+    driver's ``extract_text`` oracle query does exactly that in DuckDB.
+    For the deterministic ``generate_web_pages`` corpus the output is
+    byte-identical to the ``text`` column it was rendered from
+    (tests/test_sources_multimodal.py::test_extract_text_byte_identical).
+    """
+    s = F.decode(html, "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def lang_dim(spark: SparkSession) -> DataFrame:
     names = {
         "en": "English", "de": "German", "fr": "French", "es": "Spanish",

@@ -160,3 +160,31 @@ def test_multimodal_real_decode_with_pillow(spark):
     assert abs(f[3] - 2.0) < 1e-6  # 32/16 aspect
     resized = multimodal.resize_media(df, target_bytes=8, fake=False).collect()[0]
     assert resized["orig_bytes"] == len(png) and resized["resized_bytes"] > 0
+
+
+def test_extract_text_byte_identical(spark):
+    # the north-rule per-row invariant: text extracted from the html column
+    # is byte-identical to the text the page was rendered from
+    web = webpages.generate_web_pages(spark, 2000)
+    mismatches = (
+        web.select(
+            F.coalesce("text", F.lit("")).alias("want"),
+            webpages.extract_text(F.col("html")).alias("got"),
+        )
+        .where(F.col("want") != F.col("got"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_extract_text_strips_script_style_entities(spark):
+    html = (
+        "<html><head><style>h1 {color: red}</style>"
+        "<script type='x'>if (a < b && c > d) { alert('&amp;'); }</script>"
+        "</head><body>\n  <h1>Title</h1>\n"
+        "<p>A &amp; B&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html.encode())], "id long, html binary")
+    got = df.select(webpages.extract_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert got == "Title A & B <tag> \"q\" 's'"
