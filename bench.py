@@ -56,6 +56,7 @@ HEADLINE = [
     "dup_ngrams",
     "run_full",
     "web_pages_full_plan",
+    "web_extract_text",
 ]
 
 
@@ -105,6 +106,15 @@ def main():
             F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))
         )
 
+    def web_extract(spark, sf_dir):
+        # html→text extraction kernel over the 1M-row web table: regex-heavy
+        # whole-stage-codegen throughput (the north-rule invariant's operator)
+        from schema_validator_spark.sources.webpages import extract_text
+
+        return web.select(
+            F.sum(F.octet_length(extract_text(F.col("html")))).alias("bytes_out")
+        )
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
@@ -114,6 +124,8 @@ def main():
             fn = simhash_fast
         elif name == "web_pages_full_plan":
             fn = web_full
+        elif name == "web_extract_text":
+            fn = web_extract
         else:
             fn = qs[name]
         # one untimed warm-up run: excludes one-time plan codegen/JIT from the

@@ -140,3 +140,18 @@ def test_ivf_centroid_setup_job_counts(spark):
     before = n_jobs()
     SIM.ivf_topk(emb, q, k=5, n_centroids=4, corpus_id="vec_id", query_id="vec_id")
     assert n_jobs() - before == 1
+
+
+def test_extract_text_is_single_projection(spark):
+    # html->text extraction must stay one stateless whole-stage-codegen
+    # projection over the scan: no shuffle, no Python, text column pruned
+    from schema_validator_spark.sources.webpages import extract_text, generate_web_pages
+
+    web = generate_web_pages(spark, 1000)
+    out = web.select("url", extract_text(F.col("html")).alias("t"))
+    p = _plan(out)
+    assert _shuffles(p) == 0, p
+    # no Python eval operators; codegen renders as "*(n)" stage markers
+    assert "EvalPython" not in p, p
+    assert "*(1)" in p or "WholeStageCodegen" in p, p
+    assert p.count("Project") == 1, p
