@@ -583,6 +583,29 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_row_checks(spark, sf_dir):
+    """Row-level cross-field checks (ObjectSchema.check — engine extension,
+    dbt-test/Deequ-style): a consistency check that always holds
+    (char length == n_chars), a bound that fails for long docs (custom
+    code+message), and a field rule, all inside ONE validation projection;
+    output = exploded violation rows keyed by doc_id."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("text", s.string().min_length(100))
+        .check("n_chars_consistent", F.length("text") == F.col("n_chars"))
+        .check(
+            "n_chars_bounded",
+            "n_chars <= 500",
+            message="doc too long",
+            code="DOC_TOO_LONG",
+        )
+    )
+    plan = sv.ValidationPlan(obj)
+    return plan.violations(plan.apply(docs), ["doc_id"])
+
+
 def q_extract_text(spark, sf_dir):
     """HTML→text extraction (north-rule invariant: byte-identical extracted
     text per url) byte-checked end-to-end: both sides render the same HTML
@@ -1004,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "windowed_events": q_windowed_events,
         "extract_text": q_extract_text,
+        "row_checks": q_row_checks,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
@@ -1460,6 +1484,20 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(*) AS n,
   round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "row_checks": """
+WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, 'text' AS field, 'MIN_LENGTH_ERROR' AS code,
+  'Length error: expected at least 100 characters, got ' || CAST(strlen(text) AS VARCHAR) AS message,
+  'MinLength' AS error_type
+FROM d WHERE strlen(text) < 100
+UNION ALL
+SELECT doc_id, 'n_chars_consistent', 'CHECK_ERROR',
+  'Check failed: ''n_chars_consistent''', 'Check'
+FROM d WHERE NOT (length(text) = n_chars)
+UNION ALL
+SELECT doc_id, 'n_chars_bounded', 'DOC_TOO_LONG', 'doc too long', 'Check'
+FROM d WHERE NOT (n_chars <= 500)
 """,
         "extract_text": """
 WITH h AS (

@@ -27,6 +27,8 @@ MISSING_FIELD = "MISSING_FIELD"
 LITERAL_ERROR = "LITERAL_ERROR"
 COERCION_ERROR = "COERCION_ERROR"
 OBJECT_ERROR = "OBJECT_ERROR"
+# engine extension (no reference counterpart): row-level cross-field checks
+CHECK_ERROR = "CHECK_ERROR"
 
 
 @dataclass(frozen=True)

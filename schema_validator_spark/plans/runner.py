@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..errors import OBJECT_ERROR
 from ..schema import BaseSchema, ObjectSchema
-from .compile import CompiledField, compile_field, compile_object
+from .compile import CompiledField, _null_viol, _viol, compile_field, compile_object
 
 VIOLATIONS_COL = "violations"
 VALID_COL = "valid"
@@ -60,8 +60,23 @@ class ValidationPlan:
             ]
         cols += [f.value.alias(f.name) for f in fields]
 
+        # row-level cross-field checks (ObjectSchema.check): evaluated over
+        # the INPUT columns inside this same projection — zero extra passes.
+        # SQL CHECK semantics: NULL predicate = pass.
+        check_passes, check_viols = [], []
+        for name, pred, code, message in getattr(self.schema, "checks", []):
+            pred_col = F.expr(pred) if isinstance(pred, str) else pred
+            ok = F.coalesce(pred_col, F.lit(True))
+            check_passes.append(ok)
+            check_viols.append(
+                F.when(~ok, _viol(name, code, message, "Check")).otherwise(
+                    _null_viol()
+                )
+            )
+
         viol_array = F.filter(
-            F.array(*[f.violation for f in fields]), lambda v: v.isNotNull()
+            F.array(*[f.violation for f in fields], *check_viols),
+            lambda v: v.isNotNull(),
         )
         cols.append(viol_array.alias(VIOLATIONS_COL))
         # `valid` is a pure-boolean conjunction (NOT derived from the array):
@@ -75,6 +90,8 @@ class ValidationPlan:
         valid = F.lit(True)
         for f in fields:
             valid = valid & f.passes
+        for ok in check_passes:
+            valid = valid & ok
         cols.append(valid.alias(VALID_COL))
         return df.select(*cols)
 

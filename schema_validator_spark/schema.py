@@ -289,6 +289,8 @@ class ObjectSchema(BaseSchema):
         # object.rs:189-199, 319-332): HashMap<String, Box<dyn Any>> -> T
         self.obj_transform: Optional[Transform] = None
         self.obj_transform_mode: str = "row"
+        # row-level cross-field checks: (name, predicate, code, message)
+        self.checks: list = []
 
     def field(self, name: str, schema: BaseSchema):
         self.fields[name] = schema
@@ -316,6 +318,31 @@ class ObjectSchema(BaseSchema):
             raise ValueError(f"unknown object transform mode {mode!r}")
         self.obj_transform = Transform("custom", fn, return_type)
         self.obj_transform_mode = mode
+        return self
+
+    def check(self, name: str, predicate, message: "str | None" = None, code: "str | None" = None):
+        """Row-level CROSS-FIELD check — an engine extension with no
+        reference counterpart (the reference validates one value at a time;
+        a dbt-test/Deequ-style invariant lives naturally at the engine's
+        table layer).
+
+        ``predicate``: a Spark ``Column`` or SQL expression string over the
+        INPUT columns (evaluated inside the same single validation
+        projection — zero extra passes).  SQL CHECK semantics: a NULL
+        predicate counts as PASS, so checks constrain only what they can
+        see.  A failing check contributes a violation struct
+        ``(field=name, code, message, error_type='Check')`` and flips
+        ``valid`` exactly like a field violation."""
+        from .errors import CHECK_ERROR
+
+        self.checks.append(
+            (
+                name,
+                predicate,
+                code or CHECK_ERROR,
+                message or f"Check failed: '{name}'",
+            )
+        )
         return self
 
     def ref(self, field: str, dim_name: str, dim_key: str, strategy: str = "broadcast"):

@@ -76,3 +76,53 @@ def test_run_full(spark, sf_dir):
         assert False, "expected ValueError for missing dim"
     except ValueError:
         pass
+
+
+def test_row_level_checks(spark):
+    rows = [
+        (0, "hello", 5, 10),     # all pass
+        (1, "hello", 4, 10),     # len mismatch
+        (2, "hi", 2, 99),        # score out of range (custom code+message)
+        (3, None, None, 10),     # NULL predicate = pass (SQL CHECK semantics)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, n long, score long")
+    s = schema()
+    obj = (
+        s.object()
+        .field("text", s.string().optional())
+        .check("len_consistent", F.length("text") == F.col("n"))
+        .check("score_range", "score <= 50", message="score too big", code="SCORE_HIGH")
+    )
+    plan = ValidationPlan(obj)
+    out = plan.apply(df)
+    valid = {r["id"]: r["valid"] for r in out.collect()}
+    assert valid == {0: True, 1: False, 2: False, 3: True}
+    viols = {
+        (r["id"], r["field"]): (r["code"], r["message"], r["error_type"])
+        for r in plan.violations(out, ["id"]).collect()
+    }
+    assert viols[(1, "len_consistent")] == (
+        "CHECK_ERROR", "Check failed: 'len_consistent'", "Check"
+    )
+    assert viols[(2, "score_range")] == ("SCORE_HIGH", "score too big", "Check")
+    assert (3, "len_consistent") not in viols  # NULL comparison passes
+
+
+def test_checks_keep_single_projection_plan(spark):
+    # checks must fuse into the one validation projection: no shuffle, no
+    # extra scan, and a verdict-only consumer still prunes the struct
+    # machinery (valid stays a pure-boolean conjunction)
+    df = generate_web_pages(spark, 100)
+    s = schema()
+    obj = (
+        s.object()
+        .field("url", s.string().url())
+        .check("text_present", F.col("text").isNotNull() | F.col("lang").isNull())
+    )
+    out = ValidationPlan(obj).apply(df)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    verdict_plan = (
+        out.select("valid")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "violations" not in verdict_plan and "named_struct" not in verdict_plan
