@@ -583,6 +583,17 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_heavy_keys(spark, sf_dir):
+    """Heavy-hitter diagnostic (find the hot key before it melts a reducer):
+    exact two-phase salted counts, total summed from the partials, share
+    filter against the broadcast total."""
+    ev = _t(spark, sf_dir, "events")
+    out = U.heavy_keys(ev, ["event_type"], min_share=0.15)
+    return out.select(
+        "event_type", F.col("key_count").cast("bigint").alias("key_count"), "share"
+    )
+
+
 def q_row_checks(spark, sf_dir):
     """Row-level cross-field checks (ObjectSchema.check — engine extension,
     dbt-test/Deequ-style): a consistency check that always holds
@@ -1028,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "extract_text": q_extract_text,
         "row_checks": q_row_checks,
+        "heavy_keys": q_heavy_keys,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
@@ -1484,6 +1496,12 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(*) AS n,
   round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "heavy_keys": """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS key_count FROM events GROUP BY 1),
+t AS (SELECT sum(key_count) AS total FROM c)
+SELECT event_type, key_count, round(key_count / total::DOUBLE, 6) AS share
+FROM c, t WHERE key_count >= total * 0.15
 """,
         "row_checks": """
 WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE text IS NOT NULL)

@@ -53,6 +53,40 @@ def duplicate_counts_salted(
     )
 
 
+def heavy_keys(
+    df: DataFrame, keys: Sequence[str], min_share: float = 0.01, salt_buckets: int = 32
+) -> DataFrame:
+    """Heavy-hitter keys: keys owning ≥ ``min_share`` of all rows — the
+    diagnostic that finds the hot url-host BEFORE it melts a reducer (feed
+    the result into a skew salt or an explicit broadcast split).
+
+    Shape: the same two-phase salted aggregation as
+    ``duplicate_counts_salted`` (a hot key's partial counts spread over
+    ``salt_buckets`` reducers), then the total row count is summed FROM the
+    partials (no second scan) and broadcast into the share filter.
+    Output: (keys..., key_count, share) — exact, deterministic."""
+    salt = (
+        F.abs(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()))
+        % salt_buckets
+    ).alias("_salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    counts = partial.groupBy(*keys).agg(F.sum("_partial").alias("key_count"))
+    total = counts.agg(F.sum("key_count").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("key_count") >= F.col("_total") * F.lit(float(min_share)))
+        .select(
+            *keys,
+            "key_count",
+            F.round(F.col("key_count") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
 def dedup_exact(
     df: DataFrame,
     keys: Sequence[str],

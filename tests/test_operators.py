@@ -142,3 +142,14 @@ def test_salted_uniqueness_hot_key(spark):
             for r in uniqueness.duplicate_counts_salted(df, ["url"], buckets).collect()
         }
         assert got == want
+
+
+def test_heavy_keys(spark):
+    rows = [(i, "hot") for i in range(80)] + [(100 + i, f"k{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {r["key"]: (r["key_count"], r["share"]) for r in
+           uniqueness.heavy_keys(df, ["key"], min_share=0.05).collect()}
+    assert got == {"hot": (80, 0.8)}  # 1% keys below the share floor excluded
+    # floor at 0 returns everything, counts exact
+    all_keys = uniqueness.heavy_keys(df, ["key"], min_share=0.0)
+    assert all_keys.count() == 21
