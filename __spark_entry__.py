@@ -583,6 +583,33 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_normalize_url(spark, sf_dir):
+    """URL canonicalization byte-checked end-to-end: both sides render the
+    same messy raw URL per doc (mixed case, default port, utm params,
+    fragment) and replay the identical normalize chain."""
+    from schema_validator_spark.sources.webpages import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  HTTPS://Host-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=t&b="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&a=1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", normalize_url(raw).alias("norm_url"))
+
+
 def q_heavy_keys(spark, sf_dir):
     """Heavy-hitter diagnostic (find the hot key before it melts a reducer):
     exact two-phase salted counts, total summed from the partials, share
@@ -1040,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "row_checks": q_row_checks,
         "heavy_keys": q_heavy_keys,
+        "normalize_url": q_normalize_url,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
@@ -1496,6 +1524,57 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(*) AS n,
   round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "normalize_url": """
+WITH raw AS (
+  SELECT doc_id,
+    '  HTTPS://Host-' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+      || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+      || '/Path/' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0
+           THEN '?utm_source=t&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+           ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS r
+  FROM documents
+),
+s1 AS (SELECT doc_id, r, regexp_replace(trim(r), '#.*', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id, r, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS raw_host FROM s2
+),
+s4 AS (
+  SELECT *,
+    CASE WHEN scheme = 'http' AND lower(raw_host) LIKE '%:80'
+           THEN substr(lower(raw_host), 1, length(raw_host) - 3)
+         WHEN scheme = 'https' AND lower(raw_host) LIKE '%:443'
+           THEN substr(lower(raw_host), 1, length(raw_host) - 4)
+         ELSE lower(raw_host) END AS host,
+    substr(rest, length(raw_host) + 1) AS pathq
+  FROM s3
+),
+s5 AS (
+  SELECT *,
+    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+    coalesce(array_to_string(
+      list_sort(
+        list_filter(
+          string_split(coalesce(regexp_extract(pathq, '\\?(.*)', 1), ''), '&'),
+          p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+        )
+      ), '&'), '') AS q
+  FROM s4
+)
+SELECT doc_id,
+  CASE WHEN scheme = '' THEN trim(r)
+       ELSE scheme || '://' || host || path
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END END AS norm_url
+FROM s5
 """,
         "heavy_keys": """
 WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS key_count FROM events GROUP BY 1),

@@ -133,6 +133,56 @@ def extract_text(html):
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
+def normalize_url(url):
+    """Canonical crawl-dedup form of a URL — the key the north rule's
+    uniqueness check SHOULD run on (raw crawl URLs differ by case, fragment,
+    default port and tracking params while naming the same page):
+
+    - trim; lowercase scheme and host (path/query case preserved)
+    - strip the fragment
+    - drop the scheme's default port (:80 http, :443 https)
+    - empty path → "/"
+    - drop ``utm_``-prefixed query params, sort the rest byte-wise
+
+    Native expressions only, every regex dialect-neutral (Java regex ≡ RE2),
+    no LIKE wildcards — so an external engine replays it byte-for-byte (the
+    ``normalize_url`` driver query re-implements the chain in DuckDB).
+    A value without a ``scheme://`` prefix is returned trimmed, unchanged.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+    # path+query = rest minus the raw (pre-lowercase) host prefix
+    raw_host = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.substring(rest, F.length(raw_host) + 1, F.length(rest))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & (F.substring(p, 1, 4) != "utm_"),
+        )
+    )
+    q_norm = F.array_join(params, "&")
+    normalized = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q_norm == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_norm)),
+    )
+    return F.when(scheme == "", F.trim(url)).otherwise(normalized)
+
+
 def lang_dim(spark: SparkSession) -> DataFrame:
     names = {
         "en": "English", "de": "German", "fr": "French", "es": "Spanish",

@@ -188,3 +188,35 @@ def test_extract_text_strips_script_style_entities(spark):
     df = spark.createDataFrame([(1, html.encode())], "id long, html binary")
     got = df.select(webpages.extract_text(F.col("html")).alias("t")).collect()[0]["t"]
     assert got == "Title A & B <tag> \"q\" 's'"
+
+
+def test_normalize_url_cases(spark):
+    cases = [
+        ("  HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&b=2&a=1#frag  ",
+         "https://www.example.com/Path/Page?a=1&b=2"),
+        ("http://Host.org:80", "http://host.org/"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),  # non-default port kept
+        ("https://h.example/?utm_campaign=z", "https://h.example/"),
+        ("not a url", "not a url"),  # schemeless: trimmed, untouched
+        ("ftp://Files.Example.com/A?b=1", "ftp://files.example.com/A?b=1"),
+        ("https://h.example/p?", "https://h.example/p"),
+        ("https://h.example/p?a=1&a=0", "https://h.example/p?a=0&a=1"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    got = [
+        r["n"]
+        for r in df.select(webpages.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert got == [c[1] for c in cases]
+
+
+def test_normalize_url_dedups_crawl_variants(spark):
+    # the point of the operator: crawl variants of one page collapse to one key
+    variants = [
+        "https://news.example.com/story/42",
+        "HTTPS://News.Example.Com:443/story/42#comments",
+        "https://news.example.com/story/42?utm_source=feed&utm_medium=rss",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    n = df.select(webpages.normalize_url(F.col("url")).alias("k")).distinct().count()
+    assert n == 1
