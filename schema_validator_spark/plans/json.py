@@ -368,4 +368,28 @@ def validate_json_objects(
     viols = F.when(row_ok, field_viols).otherwise(F.array(row_viol))
     cols.append(viols.alias(VIOLATIONS_COL))
     cols.append((F.size(viols) == 0).alias(VALID_COL))
-    return staged.select(*cols)
+    out = staged.select(*cols)
+
+    # row-level cross-field checks (ObjectSchema.check): on the JSON path the
+    # predicate sees the EXTRACTED, typed field columns (there are no input
+    # columns to check against) — evaluated in one follow-up projection.
+    # NULL predicate = pass, same as the tabular path.
+    if getattr(obj, "checks", None):
+        check_viols, ok_all = [], F.lit(True)
+        for name, pred, code, message in obj.checks:
+            pred_col = F.expr(pred) if isinstance(pred, str) else pred
+            ok = F.coalesce(pred_col, F.lit(True))
+            ok_all = ok_all & ok
+            check_viols.append(
+                F.when(~ok, _viol(name, code, message, "Check")).otherwise(
+                    _null_viol()
+                )
+            )
+        out = out.withColumn(
+            VIOLATIONS_COL,
+            F.concat(
+                F.col(VIOLATIONS_COL),
+                F.filter(F.array(*check_viols), lambda x: x.isNotNull()),
+            ),
+        ).withColumn(VALID_COL, F.col(VALID_COL) & ok_all)
+    return out

@@ -124,3 +124,27 @@ def test_error_accumulation_across_fields(spark):
     assert [v.split("|")[1] for v in r["v"]] == [
         "MIN_LENGTH_ERROR", "INVALID_EMAIL", "COERCION_ERROR",
     ]
+
+
+def test_json_row_level_checks(spark):
+    from schema_validator_spark import ValidationPlan, schema
+    from schema_validator_spark.plans.json import validate_json_objects
+
+    rows = [
+        (0, '{"a": 3, "b": 5}'),   # pass (a < b)
+        (1, '{"a": 9, "b": 5}'),   # check fails
+        (2, '{"a": null, "b": 5}'),  # explicit null a -> check NULL -> passes
+    ]
+    df = spark.createDataFrame(rows, "id long, js string")
+    s = schema()
+    obj = (
+        s.object()
+        .field("a", s.number().optional())
+        .field("b", s.number())
+        .check("a_lt_b", F.col("a") < F.col("b"))
+    )
+    out = validate_json_objects(df, "js", obj)
+    got = {r["id"]: (r["valid"], [v["field"] for v in r["violations"]]) for r in out.collect()}
+    assert got[0] == (True, [])
+    assert got[1] == (False, ["a_lt_b"])
+    assert got[2] == (True, [])  # NULL comparison = pass
