@@ -583,6 +583,31 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_table_checks(spark, sf_dir):
+    """Table-level aggregate quality gates (ObjectSchema.table_check):
+    all gates evaluate in ONE aggregation job; each FAILED gate emits one
+    violation row with its metric rendered into the key."""
+    docs = _t(spark, sf_dir, "documents")
+    s = sv.schema()
+    obj = (
+        s.object()
+        .field("n_chars", s.number())
+        .table_check("min_rows", "count(*) >= 100000", metric="count(*)")
+        .table_check(
+            "chars_consistent",
+            "sum(cast((length(text) = n_chars) as int)) = count(text)",
+        )
+        .table_check(
+            "chars_budget",
+            "sum(n_chars) <= 10000",
+            metric="sum(n_chars)",
+            message="corpus too large",
+            code="SUM_TOO_BIG",
+        )
+    )
+    return sv.ValidationPlan(obj).table_violations(docs)
+
+
 def q_normalize_url(spark, sf_dir):
     """URL canonicalization byte-checked end-to-end: both sides render the
     same messy raw URL per doc (mixed case, default port, utm params,
@@ -1068,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_checks": q_row_checks,
         "heavy_keys": q_heavy_keys,
         "normalize_url": q_normalize_url,
+        "table_checks": q_table_checks,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
@@ -1524,6 +1550,25 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(*) AS n,
   round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "table_checks": """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(n_chars) AS BIGINT) AS sumc,
+         CAST(sum(CAST(length(text) = n_chars AS INT)) AS BIGINT) AS eq_cnt,
+         CAST(count(text) AS BIGINT) AS text_cnt
+  FROM documents
+)
+SELECT 'min_rows' AS field, CAST(cnt AS VARCHAR) AS key,
+  'TABLE_CHECK_ERROR' AS code, 'Table check failed: ''min_rows''' AS message
+FROM m WHERE NOT (cnt >= 100000)
+UNION ALL
+SELECT 'chars_consistent', NULL, 'TABLE_CHECK_ERROR',
+  'Table check failed: ''chars_consistent'''
+FROM m WHERE NOT (eq_cnt = text_cnt)
+UNION ALL
+SELECT 'chars_budget', CAST(sumc AS VARCHAR), 'SUM_TOO_BIG', 'corpus too large'
+FROM m WHERE NOT (sumc <= 10000)
 """,
         "normalize_url": """
 WITH raw AS (

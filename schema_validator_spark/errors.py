@@ -29,6 +29,8 @@ COERCION_ERROR = "COERCION_ERROR"
 OBJECT_ERROR = "OBJECT_ERROR"
 # engine extension (no reference counterpart): row-level cross-field checks
 CHECK_ERROR = "CHECK_ERROR"
+# engine extension: table-level aggregate quality gates
+TABLE_CHECK_ERROR = "TABLE_CHECK_ERROR"
 
 
 @dataclass(frozen=True)

@@ -246,6 +246,48 @@ class ValidationPlan:
                     ).alias("message"),
                 )
             )
+        table_checks = getattr(self.schema, "table_checks", [])
+        if table_checks:
+            from ..errors import TABLE_CHECK_ERROR
+
+            # ALL declared aggregate gates evaluate in ONE aggregation job
+            # (map-side combined); the single result row explodes into one
+            # violation row per FAILED check.  NULL predicate = FAIL (an
+            # unverifiable gate must not silently pass).
+            aggs = []
+            for i, (name, pred, metric, code, message) in enumerate(table_checks):
+                pred_col = F.expr(pred) if isinstance(pred, str) else pred
+                aggs.append(
+                    F.coalesce(pred_col, F.lit(False)).alias(f"_tc_ok_{i}")
+                )
+                m = (
+                    (F.expr(metric) if isinstance(metric, str) else metric)
+                    if metric is not None
+                    else F.lit(None)
+                )
+                aggs.append(m.cast("string").alias(f"_tc_metric_{i}"))
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("field"),
+                        F.col(f"_tc_metric_{i}").alias("key"),
+                        F.lit(code or TABLE_CHECK_ERROR).alias("code"),
+                        F.lit(
+                            message or f"Table check failed: '{name}'"
+                        ).alias("message"),
+                        F.col(f"_tc_ok_{i}").alias("_ok"),
+                    )
+                    for i, (name, pred, metric, code, message) in enumerate(
+                        table_checks
+                    )
+                ]
+            )
+            parts.append(
+                df.agg(*aggs)
+                .select(F.explode(entries).alias("e"))
+                .where(~F.col("e._ok"))
+                .select("e.field", "e.key", "e.code", "e.message")
+            )
         if not parts:
             return df.sparkSession.createDataFrame(
                 [], "field string, key string, code string, message string"

@@ -291,6 +291,8 @@ class ObjectSchema(BaseSchema):
         self.obj_transform_mode: str = "row"
         # row-level cross-field checks: (name, predicate, code, message)
         self.checks: list = []
+        # table-level aggregate checks: (name, predicate, metric, code, message)
+        self.table_checks: list = []
 
     def field(self, name: str, schema: BaseSchema):
         self.fields[name] = schema
@@ -343,6 +345,26 @@ class ObjectSchema(BaseSchema):
                 message or f"Check failed: '{name}'",
             )
         )
+        return self
+
+    def table_check(
+        self,
+        name: str,
+        predicate,
+        metric=None,
+        message: "str | None" = None,
+        code: "str | None" = None,
+    ):
+        """TABLE-level aggregate check (Deequ/dbt-style quality gate):
+        ``predicate`` is a boolean AGGREGATE expression over the whole table
+        (Column or SQL string), e.g. ``F.count(F.lit(1)) >= 1000`` or
+        ``"avg(n_chars) between 100 and 1000"``.  ``metric`` (optional
+        aggregate expression) is rendered into the violation's key so the
+        failing value is visible.  All declared table checks evaluate in ONE
+        aggregation job (``ValidationPlan.table_violations``); a NULL
+        predicate (e.g. avg of an all-null column) counts as FAIL — an
+        unverifiable gate must not silently pass."""
+        self.table_checks.append((name, predicate, metric, code, message))
         return self
 
     def ref(self, field: str, dim_name: str, dim_key: str, strategy: str = "broadcast"):

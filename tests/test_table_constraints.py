@@ -126,3 +126,23 @@ def test_checks_keep_single_projection_plan(spark):
         out.select("valid")._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "violations" not in verdict_plan and "named_struct" not in verdict_plan
+
+
+def test_table_level_checks(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    s = schema()
+    obj = (
+        s.object()
+        .field("v", s.number())
+        .table_check("min_rows", "count(*) >= 100", metric="count(*)")
+        .table_check("avg_v_ok", F.avg("v") < 100.0)
+        .table_check(
+            "null_gate", "avg(CASE WHEN false THEN 1 END) > 0",
+            message="gate unverifiable", code="GATE_NULL",
+        )
+    )
+    tv = ValidationPlan(obj).table_violations(df)
+    got = {r["field"]: (r["key"], r["code"], r["message"]) for r in tv.collect()}
+    assert got["min_rows"] == ("10", "TABLE_CHECK_ERROR", "Table check failed: 'min_rows'")
+    assert got["null_gate"] == (None, "GATE_NULL", "gate unverifiable")  # NULL pred = FAIL
+    assert "avg_v_ok" not in got  # passing gate emits nothing
