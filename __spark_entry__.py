@@ -752,6 +752,24 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_psi_multi(spark, sf_dir):
+    """Multi-column PSI in ONE scan: per-row (column, bucket) entries
+    exploded and counted by (column, era, bucket) — the shape that monitors
+    N columns without N scans.  Integer-friendly grids (width 40 / 50) for
+    cross-engine float parity."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = DR.psi_multi(
+        docs,
+        {"n_chars": (0.0, 640.0), "doc_id": (0.0, 800.0)},
+        F.col("doc_id") < 250,
+        nbuckets=16,
+    )
+    return spark.createDataFrame(
+        sorted((k, round(v, 4), v > 0.25) for k, v in vals.items()),
+        "col_name string, psi double, drifted boolean",
+    )
+
+
 def q_ks_exact(spark, sf_dir):
     """Exact two-sample KS over the merged ECDF grid (the sketch-based
     ks_statistic is the 100 TB path; this exact variant is oracle-checked)."""
@@ -1097,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "psi_drift": q_psi_drift,
+        "psi_multi": q_psi_multi,
         "ks_exact": q_ks_exact,
         "ks_drift": q_ks_drift,
         # training-data operators
@@ -1167,6 +1186,30 @@ def _lang_pred_sql() -> str:
         case += f"WHEN s_{lang} = {best} THEN '{lang}' "
     case += f"ELSE '{langs[-1]}' END"
     return score_defs, case
+
+
+def _psi_col_ctes(col: str, hi: int, width: int, nbuckets: int, era_col: str, era_split: int) -> str:
+    """CTE block computing one column's PSI (floor-math buckets, eps clamp) —
+    mirrors drift.psi_multi / psi_single_pass arithmetic exactly."""
+    top = nbuckets + 1
+    return f"""b_{col} AS (
+  SELECT CASE WHEN {col} < 0 THEN 0 WHEN {col} >= {hi} THEN {top}
+              ELSE CAST(floor({col} / {width}.0) AS BIGINT) + 1 END AS bucket
+  FROM documents WHERE {era_col} < {era_split} AND {col} IS NOT NULL
+), c_{col} AS (
+  SELECT CASE WHEN {col} < 0 THEN 0 WHEN {col} >= {hi} THEN {top}
+              ELSE CAST(floor({col} / {width}.0) AS BIGINT) + 1 END AS bucket
+  FROM documents WHERE {era_col} >= {era_split} AND {col} IS NOT NULL
+), bh_{col} AS (SELECT bucket, count(*)::DOUBLE AS n FROM b_{col} GROUP BY 1),
+ch_{col} AS (SELECT bucket, count(*)::DOUBLE AS n FROM c_{col} GROUP BY 1),
+grid_{col} AS (SELECT unnest(generate_series(0, {top})) AS bucket),
+probs_{col} AS (
+  SELECT g.bucket,
+    greatest(coalesce(bh.n, 0) / (SELECT sum(n) FROM bh_{col}), 1e-4) AS p,
+    greatest(coalesce(ch.n, 0) / (SELECT sum(n) FROM ch_{col}), 1e-4) AS q
+  FROM grid_{col} g LEFT JOIN bh_{col} bh ON g.bucket = bh.bucket
+  LEFT JOIN ch_{col} ch ON g.bucket = ch.bucket
+), agg_{col} AS (SELECT sum((p - q) * ln(p / q)) AS psi_raw FROM probs_{col})"""
 
 
 def _hyperplane_sql_arrays(dim: int, num_planes: int, seed: int) -> list[str]:
@@ -1703,6 +1746,13 @@ probs AS (
   FROM grid g LEFT JOIN bh ON g.bucket = bh.bucket LEFT JOIN ch ON g.bucket = ch.bucket
 ), agg AS (SELECT sum((p - q) * ln(p / q)) AS psi_raw FROM probs)
 SELECT 'n_chars' AS col_name, round(psi_raw, 4) AS psi, psi_raw > 0.25 AS drifted FROM agg
+""",
+        "psi_multi": f"""
+WITH {_psi_col_ctes("n_chars", 640, 40, 16, "doc_id", 250)},
+{_psi_col_ctes("doc_id", 800, 50, 16, "doc_id", 250)}
+SELECT 'n_chars' AS col_name, round(psi_raw, 4) AS psi, psi_raw > 0.25 AS drifted FROM agg_n_chars
+UNION ALL
+SELECT 'doc_id', round(psi_raw, 4), psi_raw > 0.25 FROM agg_doc_id
 """,
         "ks_exact": """
 WITH b AS (SELECT n_chars AS v FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL),

@@ -120,6 +120,59 @@ def psi_single_pass(
     return value
 
 
+def psi_multi(
+    df: DataFrame,
+    columns: "dict[str, tuple[float, float]]",
+    is_baseline,
+    nbuckets: int = 20,
+    eps: float = 1e-4,
+) -> "dict[str, float]":
+    """PSI for MANY columns in ONE table scan: per row, an array of
+    (col_name, bucket) entries is exploded and counted by
+    (column, era, bucket) with map-side combine — at 100 TB you never pay
+    one scan per monitored column.  ``columns`` maps column name →
+    (lo, hi) histogram range; arithmetic per column is identical to
+    ``psi_single_pass`` (same counts → same value).  Rows with a NULL era
+    marker are excluded (same rule as psi_single_pass)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.width_bucket(
+                        F.col(c).cast("double"),
+                        F.lit(float(lo)),
+                        F.lit(float(hi)),
+                        F.lit(nbuckets),
+                    ),
+                ).alias("bucket"),
+            )
+            for c, (lo, hi) in columns.items()
+        ]
+    )
+    rows = (
+        df.select(is_baseline.alias("_b"), F.explode(entries).alias("e"))
+        .where(F.col("_b").isNotNull() & F.col("e.bucket").isNotNull())
+        .groupBy(F.col("e.col_name").alias("col_name"), "_b", F.col("e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: ≤ n_columns · 2 · (nbuckets+2) rows
+    )
+    out = {}
+    for c in columns:
+        bh = {r["bucket"]: r["cnt"] for r in rows if r["col_name"] == c and r["_b"]}
+        ch = {r["bucket"]: r["cnt"] for r in rows if r["col_name"] == c and not r["_b"]}
+        nb = sum(bh.values()) or 1
+        nc = sum(ch.values()) or 1
+        value = 0.0
+        for b in range(nbuckets + 2):
+            p = max(bh.get(b, 0) / nb, eps)
+            q = max(ch.get(b, 0) / nc, eps)
+            value += (p - q) * math.log(p / q)
+        out[c] = value
+    return out
+
+
 def ks_grid(
     baseline: DataFrame,
     current: DataFrame,

@@ -153,3 +153,13 @@ def test_heavy_keys(spark):
     # floor at 0 returns everything, counts exact
     all_keys = uniqueness.heavy_keys(df, ["key"], min_share=0.0)
     assert all_keys.count() == 21
+
+
+def test_psi_multi_matches_single_pass(spark):
+    rows = [(i, float(i % 100), float((i * 7) % 150)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    era = F.col("id") < 200
+    multi = drift.psi_multi(df, {"x": (0.0, 160.0), "y": (0.0, 160.0)}, era, nbuckets=16)
+    for c in ("x", "y"):
+        single = drift.psi_single_pass(df, c, era, 0.0, 160.0, 16)
+        assert abs(multi[c] - single) < 1e-12, (c, multi[c], single)
