@@ -169,6 +169,11 @@ def main():
             .field("url", s.string().trim().to_lowercase().url().unique())
             .field("text", s.string().min_length(20).optional())
             .field("lang", s.string().pattern(r"^[a-z]{2}$").optional())
+            # aggregate quality gates ride the same run (one extra agg pass)
+            .table_check("min_rows", f"count(*) >= {RUN_FULL_ROWS}")
+            .table_check(
+                "text_null_rate", "avg(cast(text is null as int)) <= 0.05"
+            )
         )
         big_plan = ValidationPlan(big_schema)
 

@@ -186,3 +186,38 @@ def test_violations_sample_partition_independent(spark):
         ).collect()
     )
     assert a == b and len(a) == 15
+
+
+def test_stream_validate_with_row_checks(spark, tmp_path):
+    # row-level checks are part of the stateless validation projection, so a
+    # check-bearing plan must stream unchanged
+    from schema_validator_spark import ValidationPlan, schema
+    from schema_validator_spark.streaming.runner import validate_stream
+
+    src = str(tmp_path / "csrc")
+    rows = [(i, f"doc {i}", i % 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string, n long")
+    df.write.mode("overwrite").parquet(src)
+
+    s = schema()
+    obj = (
+        s.object()
+        .field("text", s.string())
+        .check("n_small", F.col("n") < 5)
+    )
+    stream = spark.readStream.schema("id long, text string, n long").parquet(src)
+    validated = validate_stream(ValidationPlan(obj), stream)
+    out = str(tmp_path / "cout")
+    q = (
+        validated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cchk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert got.where("valid").count() == 10  # n in 0..4 passes
+    bad = got.where("NOT valid").select(F.explode("violations").alias("v"))
+    assert bad.where("v.field = 'n_small'").count() == 10
