@@ -1038,6 +1038,19 @@ def q_winnow_fingerprint(spark, sf_dir):
     )
 
 
+def q_chunk_text(spark, sf_dir):
+    """Fixed-width overlapping chunking (chunk 128 chars, overlap 32) — the
+    pre-tokenization fan-out, one codegen projection, byte-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TQ.chunk_text(docs, "doc_id", chunk_chars=128, overlap=32)
+    return out.select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        "chunk",
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = MM.media_table_from_text(docs, "doc_id")
@@ -1136,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "dup_ngrams": q_dup_ngrams,
         "intra_repetition": q_intra_repetition,
+        "chunk_text": q_chunk_text,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "resize_media": q_resize_media,
@@ -2145,6 +2159,19 @@ SELECT _id AS doc_id,
   round(CAST(sum((dfc > 1)::BIGINT) AS DOUBLE) / count(*), 6) AS dup_ngram_frac,
   count(*) AS n_ngrams
 FROM ex JOIN dfq USING (g) GROUP BY _id
+""",
+        "chunk_text": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+    1 + CAST(ceil(greatest(length(t) - 128, 0) / 96.0) AS INT) AS nc
+  FROM d
+),
+g AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS i FROM n)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+  substr(t, CAST(i AS INT) * 96 + 1, 128) AS chunk,
+  CAST(length(substr(t, CAST(i AS INT) * 96 + 1, 128)) AS BIGINT) AS chunk_len
+FROM g
 """,
         "intra_repetition": f"""
 WITH d AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL),

@@ -194,3 +194,46 @@ def duplicate_ngram_fraction(
         )
         .select(F.col("_id").alias("doc_id"), "dup_ngram_frac", "n_ngrams")
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap — the
+    standard pre-tokenization step of a training-data pipeline (chunk_chars
+    approximates a token budget; overlap preserves cross-boundary context).
+
+    Native shape: per row, a character-offset ``sequence`` is transformed to
+    ``substr`` windows and exploded — one codegen projection, no Python, no
+    shuffle; chunk rows inherit the scan's partitioning.  Stride =
+    chunk_chars − overlap (must be positive).  Empty/NULL docs yield one
+    empty chunk so every input id survives (exactly one chunk when
+    len ≤ chunk_chars).  Output: (id, chunk_no, chunk, chunk_len).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    # number of chunks: 1 + ceil(max(n - chunk_chars, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_chars), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substr(t, i * stride + 1, F.lit(chunk_chars)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    return out.select(
+        id_col,
+        "chunk_no",
+        "chunk",
+        F.length("chunk").alias("chunk_len"),
+    )

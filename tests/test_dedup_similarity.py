@@ -450,3 +450,35 @@ def test_sample_to_token_budget(spark):
         df, "id", "lang", "tokens", {"en": 10_000_000.0}
     )
     assert all_en.count() == 1000
+
+
+def test_chunk_text_windows(spark):
+    from schema_validator_spark.operators.textquality import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "a" * 1000), (2, "b" * 10), (3, None), (4, "c" * 512)],
+        "id long, text string",
+    )
+    got = {}
+    for r in chunk_text(df, "id", chunk_chars=512, overlap=64).collect():
+        got.setdefault(r["id"], []).append((r["chunk_no"], r["chunk_len"]))
+    # stride 448: 1000 chars -> offsets 0/448/896 -> lens 512/512/104
+    assert sorted(got[1]) == [(0, 512), (1, 512), (2, 104)]
+    assert got[2] == [(0, 10)]
+    assert got[3] == [(0, 0)]      # NULL doc survives as one empty chunk
+    assert got[4] == [(0, 512)]    # exact fit -> exactly one chunk
+    # overlap: consecutive chunks share the trailing 64 chars
+    chunks = {
+        r["chunk_no"]: r["chunk"]
+        for r in chunk_text(
+            spark.createDataFrame([(9, "".join(chr(97 + i % 26) for i in range(300)))],
+                                  "id long, text string"),
+            "id", chunk_chars=128, overlap=32,
+        ).collect()
+    }
+    assert chunks[0][-32:] == chunks[1][:32]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_text(df, "id", chunk_chars=64, overlap=64)
