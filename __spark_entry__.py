@@ -955,6 +955,35 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 symmetric quantization byte-checked per vector: scale, integer
+    code statistics, and max reconstruction error replayed in DuckDB with
+    the identical floor(x/scale + 0.5) rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", SIM.quantize_embedding(F.col("embedding")).alias("qe"), "embedding"
+    )
+    max_err = F.aggregate(
+        F.zip_with(
+            SIM.dequantize_embedding(F.col("qe")),
+            F.col("embedding"),
+            lambda a, b: F.abs(a - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return d.select(
+        "vec_id",
+        F.round(F.col("qe.scale"), 9).alias("scale_r"),
+        F.aggregate(
+            F.col("qe.q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("qe.q").cast("int").alias("q_min"),
+        F.array_max("qe.q").cast("int").alias("q_max"),
+        F.round(max_err, 6).alias("max_err"),
+    )
+
+
 def q_text_metrics(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     m = TQ.text_metrics(df)
@@ -1150,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "intra_repetition": q_intra_repetition,
         "chunk_text": q_chunk_text,
+        "quantize_embeddings": q_quantize_embeddings,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "resize_media": q_resize_media,
@@ -2159,6 +2189,27 @@ SELECT _id AS doc_id,
   round(CAST(sum((dfc > 1)::BIGINT) AS DOUBLE) / count(*), 6) AS dup_ngram_frac,
   count(*) AS n_ngrams
 FROM ex JOIN dfq USING (g) GROUP BY _id
+""",
+        "quantize_embeddings": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END AS qv
+  FROM s
+)
+SELECT vec_id,
+  round(scale, 9) AS scale_r,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_min(qv) AS INT) AS q_min,
+  CAST(list_max(qv) AS INT) AS q_max,
+  round(list_max([abs(qv[i] * scale - v[i]) FOR i IN generate_series(1, len(v))]), 6) AS max_err
+FROM q
 """,
         "chunk_text": """
 WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),

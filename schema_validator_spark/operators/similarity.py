@@ -343,3 +343,37 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w_rank)).where(
         F.col("rank") <= k
     )
+
+
+def quantize_embedding(vec: Column) -> Column:
+    """Symmetric int8 scalar quantization of an embedding — the standard
+    4x storage/bandwidth lever for a 100 TB embedding table (floats only
+    rematerialize on the (tiny) verified candidate set).
+
+    Rule (deterministic, engine-neutral): scale = max(|x|)/127;
+    q_i = floor(x_i/scale + 0.5) (round-half-toward-+inf — floor is
+    bit-identical across engines, unlike banker's rounding); an all-zero
+    vector gets scale 0 and all-zero codes.  Returns
+    struct<scale:double, q:array<int>>.
+    """
+    absmax = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        absmax == 0.0,
+        F.transform(vec, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_embedding(quant: Column) -> Column:
+    """Inverse of ``quantize_embedding``: x̂_i = q_i · scale (array<double>)."""
+    return F.transform(quant["q"], lambda qi: qi.cast("double") * quant["scale"])

@@ -482,3 +482,30 @@ def test_chunk_text_windows(spark):
 
     with _pytest.raises(ValueError):
         chunk_text(df, "id", chunk_chars=64, overlap=64)
+
+
+def test_quantize_embedding_roundtrip(spark, vectors):
+    df, _ = vectors
+    d = df.select("vec_id", similarity.quantize_embedding(F.col("embedding")).alias("qe"), "embedding")
+    rows = d.select(
+        "vec_id",
+        F.col("qe.scale").alias("scale"),
+        F.array_min("qe.q").alias("qmin"),
+        F.array_max("qe.q").alias("qmax"),
+        F.aggregate(
+            F.zip_with(
+                similarity.dequantize_embedding(F.col("qe")),
+                F.col("embedding"),
+                lambda a, b: F.abs(a - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+    ).collect()
+    for r in rows:
+        assert -127 <= r["qmin"] and r["qmax"] <= 127
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12  # half-step bound
+    # all-zero vector: scale 0, all-zero codes, exact roundtrip
+    z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
+    r = z.select(similarity.quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
+    assert r["scale"] == 0.0 and set(r["q"]) == {0}
