@@ -1741,7 +1741,9 @@ SELECT doc_id,
   trim(regexp_replace(
     replace(replace(replace(replace(replace(replace(
       regexp_replace(
-        regexp_replace(s, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        regexp_replace(
+          regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
         '<[^>]*>', ' ', 'g'),
       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
     '\\s+', ' ', 'g')) AS extracted

@@ -106,10 +106,12 @@ def extract_text(html):
     operator.  Pure native expressions (whole-stage codegen, zero Python):
 
     1. UTF-8 decode
-    2. drop <script>/<style> blocks (non-greedy, case-insensitive, DOTALL)
-    3. strip remaining tags
-    4. unescape the 6 core entities (&amp; LAST so '&amp;lt;' → '&lt;')
-    5. collapse whitespace runs to one space, trim
+    2. drop <!-- comments --> (non-greedy DOTALL — a comment may span lines
+       and contain '>' which would otherwise leak text past the tag strip)
+    3. drop <script>/<style> blocks (non-greedy, case-insensitive, DOTALL)
+    4. strip remaining tags
+    5. unescape the 6 core entities (&amp; LAST so '&amp;lt;' → '&lt;')
+    6. collapse whitespace runs to one space, trim
 
     Every regex is dialect-neutral (identical semantics in Java regex and
     RE2), so an external engine replays the extraction byte-for-byte — the
@@ -119,6 +121,7 @@ def extract_text(html):
     (tests/test_sources_multimodal.py::test_extract_text_byte_identical).
     """
     s = F.decode(html, "UTF-8")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
     s = F.regexp_replace(s, r"<[^>]*>", " ")
     for ent, ch in [

@@ -179,7 +179,7 @@ def test_extract_text_byte_identical(spark):
 
 def test_extract_text_strips_script_style_entities(spark):
     html = (
-        "<html><head><style>h1 {color: red}</style>"
+        "<html><!-- hidden > comment\nacross lines --><head><style>h1 {color: red}</style>"
         "<script type='x'>if (a < b && c > d) { alert('&amp;'); }</script>"
         "</head><body>\n  <h1>Title</h1>\n"
         "<p>A &amp; B&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>"
