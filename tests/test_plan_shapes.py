@@ -155,3 +155,26 @@ def test_extract_text_is_single_projection(spark):
     assert "EvalPython" not in p, p
     assert "*(1)" in p or "WholeStageCodegen" in p, p
     assert p.count("Project") == 1, p
+
+
+def test_chunk_text_is_zero_shuffle_fanout(spark):
+    from schema_validator_spark.operators.textquality import chunk_text
+
+    out = chunk_text(_docs(spark), "doc_id", chunk_chars=128, overlap=32)
+    p = _plan(out)
+    assert _shuffles(p) == 0, p
+    assert "Generate" in p, p  # posexplode fan-out, no exchange
+
+
+def test_heavy_keys_two_phase_shape(spark):
+    from schema_validator_spark.operators.uniqueness import heavy_keys
+
+    out = heavy_keys(_docs(spark), ["source"], min_share=0.01)
+    out.collect()  # finalize the adaptive plan so exchange reuse is visible
+    p = _plan(out)
+    assert "isFinalPlan=true" in p, p
+    # the single-row total broadcasts into the share filter, and the counts
+    # exchange feeding it is REUSED, not recomputed — the scan and the salted
+    # partial aggregation run once
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "ReusedExchange" in p or "ReusedSubquery" in p or _shuffles(p) <= 3, p
