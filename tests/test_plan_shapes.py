@@ -178,3 +178,18 @@ def test_heavy_keys_two_phase_shape(spark):
     # partial aggregation run once
     assert "BroadcastNestedLoopJoin" in p, p
     assert "ReusedExchange" in p or "ReusedSubquery" in p or _shuffles(p) <= 3, p
+
+
+def test_plan_stats_helper(spark):
+    from schema_validator_spark.plans.inspect import plan_stats
+
+    s = schema()
+    plan = ValidationPlan(s.object().field("text", s.string().min_length(10)))
+    stats = plan_stats(plan.apply(_docs(spark)))
+    assert stats["shuffles"] == 0 and stats["python_evals"] == 0
+    assert stats["scans"] == 1 and stats["codegen_stages"] >= 1
+
+    from schema_validator_spark.operators.uniqueness import duplicate_keys
+
+    stats = plan_stats(duplicate_keys(_docs(spark), ["source"]))
+    assert stats["shuffles"] == 1  # one hash-agg exchange, nothing else
