@@ -739,6 +739,32 @@ def q_dedup_stream_batch(spark, sf_dir):
     )
 
 
+def q_session_verdicts(spark, sf_dir):
+    """Session-window verdicts (batch form of streaming sessionized_verdicts,
+    F.session_window ≡ the SQL gaps-and-islands rule): events within 1 hour
+    of the previous event merge; 'error' events fail the schema so sessions
+    carry real pass/fail counts."""
+    from schema_validator_spark.streaming.runner import sessionized_verdicts
+
+    ev = _t(spark, sf_dir, "events")
+    s = sv.schema()
+    plan = sv.ValidationPlan(
+        s.object().field(
+            "event_type", s.string().pattern(r"^(view|click|purchase|signup)$")
+        )
+    )
+    out = sessionized_verdicts(plan.apply(ev), ["user_id"], "ts", gap="1 hour")
+    return out.select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "total_rows",
+        "passed_rows",
+        "failed_rows",
+        "pass",
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """Single-pass PSI: both eras counted in one groupBy(era, bucket) scan
     (identical arithmetic to the two-scan DR.psi — same oracle)."""
@@ -1156,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checks": q_table_checks,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
+        "session_verdicts": q_session_verdicts,
         "psi_drift": q_psi_drift,
         "psi_multi": q_psi_multi,
         "ks_exact": q_ks_exact,
@@ -1772,6 +1799,33 @@ WITH r AS (
   FROM events
 )
 SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+""",
+        "session_verdicts": """
+WITH v AS (
+  SELECT user_id, ts,
+    CASE WHEN event_type IN ('view','click','purchase','signup')
+         THEN 1 ELSE 0 END AS ok
+  FROM events
+),
+l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM v),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 1 HOUR
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT min(ts) AS session_start,
+  max(ts) + INTERVAL 1 HOUR AS session_end,
+  user_id,
+  CAST(count(*) AS BIGINT) AS total_rows,
+  CAST(sum(ok) AS BIGINT) AS passed_rows,
+  CAST(count(*) - sum(ok) AS BIGINT) AS failed_rows,
+  (count(*) - sum(ok)) = 0 AS pass
+FROM s GROUP BY user_id, sid
 """,
         "psi_drift": """
 WITH b AS (

@@ -111,6 +111,48 @@ def windowed_profile(
     )
 
 
+def sessionized_verdicts(
+    validated: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: "str | None" = None,
+) -> DataFrame:
+    """Per-key SESSION-window verdicts (``F.session_window``): events within
+    ``gap`` of the previous event merge into one session; a session's window
+    closes ``gap`` after its last event.  The natural verdict unit for
+    user/host activity bursts — crawl fetch sessions, user visits — where
+    tumbling windows split or merge unrelated activity.
+
+    Works identically on batch and streaming frames (pass ``watermark`` on a
+    stream so closed sessions finalize and state evicts).  Batch semantics
+    are exactly the gaps-and-islands rule — a new session starts when
+    ts − prev_ts ≥ gap — which is how the driver's oracle replays it in SQL.
+    Output per (session, keys): total/passed/failed counts + pass flag."""
+    g = validated
+    if watermark is not None:
+        g = g.withWatermark(ts_col, watermark)
+    return (
+        g.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), *key_cols
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.col(VALID_COL).cast("long")).alias("passed_rows"),
+            F.sum((~F.col(VALID_COL)).cast("long")).alias("failed_rows"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *key_cols,
+            "total_rows",
+            "passed_rows",
+            "failed_rows",
+            (F.col("failed_rows") == 0).alias("pass"),
+        )
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     key_cols: list,

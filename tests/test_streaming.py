@@ -221,3 +221,49 @@ def test_stream_validate_with_row_checks(spark, tmp_path):
     assert got.where("valid").count() == 10  # n in 0..4 passes
     bad = got.where("NOT valid").select(F.explode("violations").alias("v"))
     assert bad.where("v.field = 'n_small'").count() == 10
+
+
+def test_sessionized_verdicts_stream(spark, tmp_path):
+    from schema_validator_spark import ValidationPlan, schema
+    from schema_validator_spark.streaming.runner import sessionized_verdicts, validate_stream
+
+    src = str(tmp_path / "ssrc")
+    rows = [
+        # user 1: two bursts 2h apart -> 2 sessions; second has a failure
+        (1, "ok", "2024-01-01 00:00:00"),
+        (1, "ok", "2024-01-01 00:10:00"),
+        (1, "bad", "2024-01-01 02:30:00"),
+        # user 2: one event -> one session
+        (2, "ok", "2024-01-01 01:00:00"),
+        # user 3: late watermark-advancing event — its own session stays in
+        # state (append mode only emits sessions the watermark has passed)
+        (3, "ok", "2024-01-01 06:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, kind string, ts string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    s = schema()
+    plan = ValidationPlan(s.object().field("kind", s.string().pattern(r"^ok$")))
+    stream = spark.readStream.schema("uid long, kind string, ts timestamp").parquet(src)
+    sess = sessionized_verdicts(
+        validate_stream(plan, stream), ["uid"], "ts", gap="30 minutes",
+        watermark="1 minute",
+    )
+    out = str(tmp_path / "sout")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "schk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uid"], str(r["session_start"])): (r["total_rows"], r["pass"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (2, True)
+    assert got[(1, "2024-01-01 02:30:00")] == (1, False)
+    assert got[(2, "2024-01-01 01:00:00")] == (1, True)
+    assert not any(uid == 3 for uid, _ in got)  # unclosed session withheld
