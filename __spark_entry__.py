@@ -739,6 +739,22 @@ def q_dedup_stream_batch(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (merge-style union+window, one shuffle, zero row
+    amplification) byte-checked against DuckDB's native ASOF LEFT JOIN:
+    every event carries the user's most recent purchase value at-or-before
+    its timestamp."""
+    from schema_validator_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("last_purchase")
+    )
+    fact = ev.select("event_id", "user_id", "ts")
+    out = asof_join(fact, dim, "user_id", "ts", "ts")
+    return out.select("event_id", "user_id", "ts", "last_purchase")
+
+
 def q_session_verdicts(spark, sf_dir):
     """Session-window verdicts (batch form of streaming sessionized_verdicts,
     F.session_window ≡ the SQL gaps-and-islands rule): events within 1 hour
@@ -1183,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
         "session_verdicts": q_session_verdicts,
+        "asof_join": q_asof_join,
         "psi_drift": q_psi_drift,
         "psi_multi": q_psi_multi,
         "ks_exact": q_ks_exact,
@@ -1799,6 +1816,15 @@ WITH r AS (
   FROM events
 )
 SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+""",
+        "asof_join": """
+WITH dim AS (
+  SELECT user_id, ts, round(value, 4) AS last_purchase
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (SELECT event_id, user_id, ts FROM events)
+SELECT f.event_id, f.user_id, f.ts, d.last_purchase
+FROM f ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.ts
 """,
         "session_verdicts": """
 WITH v AS (

@@ -163,3 +163,45 @@ def test_psi_multi_matches_single_pass(spark):
     for c in ("x", "y"):
         single = drift.psi_single_pass(df, c, era, 0.0, 160.0, 16)
         assert abs(multi[c] - single) < 1e-12, (c, multi[c], single)
+
+
+def test_asof_join_semantics(spark):
+    from schema_validator_spark.operators.temporal import asof_join
+
+    fact = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", "e0"),  # before any dim row -> NULL
+            (1, "2024-01-01 10:00:00", "e1"),  # after v1
+            (1, "2024-01-01 11:00:00", "e2"),  # exactly at v2 -> matches v2
+            (1, "2024-01-01 12:00:00", "e3"),  # after v2
+            (2, "2024-01-01 10:00:00", "e4"),  # other key, no dim rows
+        ],
+        "uid long, ts string, ev string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "v1"), (1, "2024-01-01 11:00:00", "v2")],
+        "uid long, ts string, profile string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["ev"]: r["profile"]
+        for r in asof_join(fact, dim, "uid", "ts", "ts").collect()
+    }
+    assert got == {"e0": None, "e1": "v1", "e2": "v2", "e3": "v2", "e4": None}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from schema_validator_spark.operators.temporal import asof_join
+    from schema_validator_spark.plans.inspect import plan_stats
+
+    fact = spark.range(100).select(
+        (F.col("id") % 5).alias("uid"), F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    dim = spark.range(10).select(
+        (F.col("id") % 5).alias("uid"),
+        F.timestamp_seconds(F.col("id") * 500).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    stats = plan_stats(asof_join(fact, dim, "uid", "ts", "ts"))
+    # merge shape: ONE shuffle on the key (the window), never |fact|x|dim|
+    assert stats["shuffles"] == 1, stats
