@@ -755,6 +755,21 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "last_purchase")
 
 
+def q_range_join(spark, sf_dir):
+    """Interval join via bucketing (non-equi → equi-join on fixed-width
+    buckets + residual filter): events matched to non-uniform score bands
+    (boundaries b²·5), byte-checked against DuckDB's plain range join."""
+    from schema_validator_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(b, float(b * b * 5), float((b + 1) * (b + 1) * 5)) for b in range(10)],
+        "band long, lo double, hi double",
+    )
+    out = range_join(ev.select("event_id", "value"), bands, "value", bucket_width=10.0)
+    return out.select("event_id", F.round("value", 4).alias("value"), "band")
+
+
 def q_session_verdicts(spark, sf_dir):
     """Session-window verdicts (batch form of streaming sessionized_verdicts,
     F.session_window ≡ the SQL gaps-and-islands rule): events within 1 hour
@@ -1200,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_batch": q_dedup_stream_batch,
         "session_verdicts": q_session_verdicts,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "psi_drift": q_psi_drift,
         "psi_multi": q_psi_multi,
         "ks_exact": q_ks_exact,
@@ -1816,6 +1832,15 @@ WITH r AS (
   FROM events
 )
 SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+""",
+        "range_join": """
+WITH bands AS (
+  SELECT b AS band, b * b * 5 AS lo, (b + 1) * (b + 1) * 5 AS hi
+  FROM (SELECT unnest(generate_series(0, 9)) AS b)
+),
+f AS (SELECT event_id, value FROM events)
+SELECT event_id, round(value, 4) AS value, CAST(band AS BIGINT) AS band
+FROM f JOIN bands ON value >= lo AND value < hi
 """,
         "asof_join": """
 WITH dim AS (

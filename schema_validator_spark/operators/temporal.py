@@ -75,3 +75,56 @@ def asof_join(
         F.col("_asof")[c].alias(c) for c in payload_cols
     ]
     return merged.where(F.col("_src") == 1).select(*out_cols)
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Interval (range) join: match each fact row to the interval(s) with
+    ``lo <= value < hi`` — IP-to-geo, score band, latency bucket lookups.
+
+    Spark executes a naive non-equi join as BroadcastNestedLoopJoin (every
+    row scans every interval).  This uses the interval-bucketing trick
+    instead: intervals explode to one entry per fixed-width bucket they
+    overlap, facts compute their bucket, and the match becomes an EQUI-join
+    on the bucket plus a residual range filter — hash join, broadcastable,
+    AQE-skew-splittable.  Pick ``bucket_width`` near the median interval
+    width: cost is O(intervals x buckets_per_interval) build entries and one
+    probe per fact row.  Left-semantics: fact rows matching no interval are
+    dropped (wrap with a left anti-join to find them).
+    Output: fact columns + interval columns (minus lo/hi).
+    """
+    payload_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    w = float(bucket_width)
+    iv = intervals.select(
+        F.col(lo_col).cast("double").alias("_lo"),
+        F.col(hi_col).cast("double").alias("_hi"),
+        *[F.col(c) for c in payload_cols],
+    ).where(F.col("_hi") > F.col("_lo"))
+    entries = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_lo") / w).cast("long"),
+                # hi is exclusive: a bucket is covered only if some x < hi
+                # falls in it — subtract one bucket when hi lands exactly on
+                # a boundary
+                F.when(
+                    F.col("_hi") == (F.floor(F.col("_hi") / w) * w),
+                    F.floor(F.col("_hi") / w).cast("long") - 1,
+                ).otherwise(F.floor(F.col("_hi") / w).cast("long")),
+            )
+        ).alias("_bucket"),
+    )
+    f = fact.withColumn("_v", F.col(value_col).cast("double")).withColumn(
+        "_bucket", F.floor(F.col("_v") / w).cast("long")
+    )
+    joined = f.join(F.broadcast(entries), "_bucket").where(
+        (F.col("_v") >= F.col("_lo")) & (F.col("_v") < F.col("_hi"))
+    )
+    return joined.select(*fact.columns, *payload_cols)

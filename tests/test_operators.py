@@ -205,3 +205,29 @@ def test_asof_join_single_shuffle_plan(spark):
     stats = plan_stats(asof_join(fact, dim, "uid", "ts", "ts"))
     # merge shape: ONE shuffle on the key (the window), never |fact|x|dim|
     assert stats["shuffles"] == 1, stats
+
+
+def test_range_join_boundaries(spark):
+    from schema_validator_spark.operators.temporal import range_join
+    from schema_validator_spark.plans.inspect import plan_stats
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 4.9, 5.0, 19.9, 20.0, 44.9, 45.0, 499.9, 500.0, -1.0])],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [(b, float(b * b * 5), float((b + 1) * (b + 1) * 5)) for b in range(10)],
+        "band long, lo double, hi double",
+    )
+    out = range_join(fact, bands, "v", bucket_width=10.0)
+    got = dict((r["id"], r["band"]) for r in out.collect())
+    # half-open [lo, hi): boundary values land in the UPPER band
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 9}
+    # 500.0 and -1.0 fall outside every band -> dropped
+    assert 8 not in got and 9 not in got
+    # equi-join on the bucket (hash, broadcastable), never a nested loop
+    from schema_validator_spark.plans.inspect import plan_string
+
+    p = plan_string(out)
+    assert plan_stats(out)["broadcasts"] >= 1, p
+    assert "BroadcastNestedLoopJoin" not in p, p
