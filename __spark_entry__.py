@@ -17,6 +17,13 @@ Determinism notes (why these oracles are byte-safe):
 - Random hyperplanes are seeded numpy constants inlined as literals into both
   the Spark plan and the oracle SQL; IVF centroids are selected by a
   SQL-expressible stride rule so the oracle replays the identical plan.
+- Temporal/session operators use native SQL counterparts as oracles: DuckDB's
+  ASOF JOIN for asof_join, the gaps-and-islands window formulation for
+  F.session_window, a plain non-equi join for the bucketed range join.
+- Byte-windowing media stubs run on ASCII-sanitized substrates on BOTH sides
+  (DuckDB's md5 is VARCHAR-only — a byte slice of a multi-byte char has no
+  DuckDB string representation); int8 quantization uses floor(x/scale + 0.5),
+  bit-identical across engines unlike half-even rounding.
 """
 
 from __future__ import annotations
