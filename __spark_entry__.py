@@ -642,6 +642,36 @@ def q_normalize_url(spark, sf_dir):
     return docs.select("doc_id", normalize_url(raw).alias("norm_url"))
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """End-to-end crawl-dedup pipeline: three messy per-doc URL variants
+    (case noise / whitespace+fragment / utm params) → normalize_url →
+    exact dedup on the canonical key (earliest doc wins).  The oracle
+    derives the canonical form ANALYTICALLY from doc_id arithmetic, so a
+    green row proves the whole operator chain lands exactly on ground
+    truth."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 7).cast("string")
+    k = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 3
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://Host-"), h, F.lit(".Example.COM/page/"), k))
+        .when(v == 1, F.concat(F.lit("  HTTPS://HOST-"), h, F.lit(".example.com/page/"), k, F.lit("#frag  ")))
+        .otherwise(F.concat(F.lit("https://host-"), h, F.lit(".Example.com/page/"), k, F.lit("?utm_source=x&utm_medium=y")))
+    )
+    from schema_validator_spark.sources.webpages import normalize_url
+
+    normed = docs.select(
+        "doc_id", normalize_url(raw).alias("norm_url")
+    )
+    return (
+        normed.groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
 def q_heavy_keys(spark, sf_dir):
     """Heavy-hitter diagnostic (find the hot key before it melts a reducer):
     exact two-phase salted counts, total summed from the partials, share
@@ -1217,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_checks": q_row_checks,
         "heavy_keys": q_heavy_keys,
         "normalize_url": q_normalize_url,
+        "canonical_dedup": q_canonical_dedup,
         "table_checks": q_table_checks,
         "windowed_profile": q_windowed_profile,
         "dedup_stream_batch": q_dedup_stream_batch,
@@ -1774,6 +1805,18 @@ SELECT doc_id,
        ELSE scheme || '://' || host || path
          || CASE WHEN q = '' THEN '' ELSE '?' || q END END AS norm_url
 FROM s5
+""",
+        "canonical_dedup": """
+WITH n AS (
+  SELECT doc_id,
+    'https://host-' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR) AS norm_url
+  FROM documents
+)
+SELECT norm_url,
+  min(doc_id) AS keeper_doc_id,
+  CAST(count(*) AS BIGINT) AS n_variants
+FROM n GROUP BY 1
 """,
         "heavy_keys": """
 WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS key_count FROM events GROUP BY 1),
