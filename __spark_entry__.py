@@ -776,6 +776,22 @@ def q_dedup_stream_batch(spark, sf_dir):
     )
 
 
+def _asof_inputs(spark, sf_dir):
+    """Shared fact/dim for the asof queries.  The dim is deduplicated to ONE
+    row per (user_id, ts) — max payload — on BOTH engines: duplicate-ts dim
+    rows are where as-of implementations legitimately diverge (DuckDB picks
+    an arbitrary tied row), so cross-engine byte-parity requires a unique
+    timeline (ADVICE r3)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 4)).alias("last_purchase"))
+    )
+    fact = ev.select("event_id", "user_id", "ts")
+    return fact, dim
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (merge-style union+window, one shuffle, zero row
     amplification) byte-checked against DuckDB's native ASOF LEFT JOIN:
@@ -783,12 +799,19 @@ def q_asof_join(spark, sf_dir):
     its timestamp."""
     from schema_validator_spark.operators.temporal import asof_join
 
-    ev = _t(spark, sf_dir, "events")
-    dim = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.round("value", 4).alias("last_purchase")
-    )
-    fact = ev.select("event_id", "user_id", "ts")
+    fact, dim = _asof_inputs(spark, sf_dir)
     out = asof_join(fact, dim, "user_id", "ts", "ts")
+    return out.select("event_id", "user_id", "ts", "last_purchase")
+
+
+def q_asof_join_sliced(spark, sf_dir):
+    """The skew-hardened as-of plan (window partitioned by (key, time
+    slice) + per-slice carry stitching) — same oracle as ``asof_join``
+    because slicing must not change a single result row."""
+    from schema_validator_spark.operators.temporal import asof_join
+
+    fact, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join(fact, dim, "user_id", "ts", "ts", slice_width=86400.0)
     return out.select("event_id", "user_id", "ts", "last_purchase")
 
 
@@ -804,6 +827,26 @@ def q_range_join(spark, sf_dir):
         "band long, lo double, hi double",
     )
     out = range_join(ev.select("event_id", "value"), bands, "value", bucket_width=10.0)
+    return out.select("event_id", F.round("value", 4).alias("value"), "band")
+
+
+def q_range_join_shuffle(spark, sf_dir):
+    """The size-aware build side's non-broadcast arm: identical interval
+    join forced through the shuffle hash join (the plan a LARGE interval
+    table must take — an unconditional broadcast would OOM the build side).
+    Same oracle as ``range_join``: the physical strategy must not change a
+    row."""
+    from schema_validator_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(b, float(b * b * 5), float((b + 1) * (b + 1) * 5)) for b in range(10)],
+        "band long, lo double, hi double",
+    )
+    out = range_join(
+        ev.select("event_id", "value"), bands, "value",
+        bucket_width=10.0, strategy="shuffle_hash",
+    )
     return out.select("event_id", F.round("value", 4).alias("value"), "band")
 
 
@@ -1253,7 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_batch": q_dedup_stream_batch,
         "session_verdicts": q_session_verdicts,
         "asof_join": q_asof_join,
+        "asof_join_sliced": q_asof_join_sliced,
         "range_join": q_range_join,
+        "range_join_shuffle": q_range_join_shuffle,
         "psi_drift": q_psi_drift,
         "psi_multi": q_psi_multi,
         "ks_exact": q_ks_exact,
@@ -1406,6 +1451,33 @@ def _md5_24bit_sql(expr: str) -> str:
         for i in range(1, 7)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+# asof_join and its sliced (skew-hardened) variant must agree row-for-row —
+# one oracle serves both.  The dim dedups to one row per (user_id, ts)
+# (max payload) exactly like _asof_inputs, so both engines see a unique
+# timeline and the tie-break never fires.
+_ASOF_SQL = """
+WITH dim AS (
+  SELECT user_id, ts, max(round(value, 4)) AS last_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+f AS (SELECT event_id, user_id, ts FROM events)
+SELECT f.event_id, f.user_id, f.ts, d.last_purchase
+FROM f ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.ts
+"""
+
+# range_join broadcast and shuffle-hash arms are physical variants of the
+# same logical join — one oracle serves both.
+_RANGE_SQL = """
+WITH bands AS (
+  SELECT b AS band, b * b * 5 AS lo, (b + 1) * (b + 1) * 5 AS hi
+  FROM (SELECT unnest(generate_series(0, 9)) AS b)
+),
+f AS (SELECT event_id, value FROM events)
+SELECT event_id, round(value, 4) AS value, CAST(band AS BIGINT) AS band
+FROM f JOIN bands ON value >= lo AND value < hi
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1883,24 +1955,10 @@ WITH r AS (
 )
 SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
 """,
-        "range_join": """
-WITH bands AS (
-  SELECT b AS band, b * b * 5 AS lo, (b + 1) * (b + 1) * 5 AS hi
-  FROM (SELECT unnest(generate_series(0, 9)) AS b)
-),
-f AS (SELECT event_id, value FROM events)
-SELECT event_id, round(value, 4) AS value, CAST(band AS BIGINT) AS band
-FROM f JOIN bands ON value >= lo AND value < hi
-""",
-        "asof_join": """
-WITH dim AS (
-  SELECT user_id, ts, round(value, 4) AS last_purchase
-  FROM events WHERE event_type = 'purchase'
-),
-f AS (SELECT event_id, user_id, ts FROM events)
-SELECT f.event_id, f.user_id, f.ts, d.last_purchase
-FROM f ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.ts
-""",
+        "range_join": _RANGE_SQL,
+        "range_join_shuffle": _RANGE_SQL,
+        "asof_join": _ASOF_SQL,
+        "asof_join_sliced": _ASOF_SQL,
         "session_verdicts": """
 WITH v AS (
   SELECT user_id, ts,

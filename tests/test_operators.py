@@ -231,3 +231,89 @@ def test_range_join_boundaries(spark):
     p = plan_string(out)
     assert plan_stats(out)["broadcasts"] >= 1, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_range_join_shuffle_strategy_never_broadcasts(spark):
+    """The big-interval arm: strategy='shuffle_hash' must not plan a
+    BroadcastExchange anywhere (VERDICT r3: an unconditional broadcast of the
+    exploded entries OOMs on a large interval table) and must return exactly
+    the broadcast arm's rows."""
+    from schema_validator_spark.operators.temporal import range_join
+    from schema_validator_spark.plans.inspect import plan_stats, plan_string
+
+    fact = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(200)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [(b, float(b * 10), float(b * 10 + 10)) for b in range(5)],
+        "band long, lo double, hi double",
+    )
+    shuffled = range_join(fact, bands, "v", bucket_width=5.0, strategy="shuffle_hash")
+    p = plan_string(shuffled)
+    assert plan_stats(shuffled)["broadcasts"] == 0, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    bcast = range_join(fact, bands, "v", bucket_width=5.0, strategy="broadcast")
+    assert sorted(map(tuple, shuffled.collect())) == sorted(map(tuple, bcast.collect()))
+
+
+def test_range_join_auto_gates_on_exact_entry_count(spark):
+    """strategy='auto' counts the exploded entries in closed form and only
+    broadcasts below the cap; above it the same call plans a shuffle join."""
+    from schema_validator_spark.operators.temporal import range_join
+    from schema_validator_spark.plans.inspect import plan_stats
+
+    fact = spark.createDataFrame([(1, 3.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [(b, float(b * 10), float(b * 10 + 10)) for b in range(4)],
+        "band long, lo double, hi double",
+    )  # width 5 -> 2 entries per band -> 8 entries total
+    small = range_join(fact, bands, "v", bucket_width=5.0, broadcast_max_entries=8)
+    assert plan_stats(small)["broadcasts"] >= 1
+    big = range_join(fact, bands, "v", bucket_width=5.0, broadcast_max_entries=7)
+    assert plan_stats(big)["broadcasts"] == 0
+    with pytest.raises(ValueError, match="strategy"):
+        range_join(fact, bands, "v", strategy="nested_loop")
+
+
+def test_asof_join_sliced_matches_unsliced_under_planted_skew(spark):
+    """Skew hardening (VERDICT r3): one hot key owning 80% of the facts.
+    slice_width must (a) change no result row and (b) partition the window
+    by (key, slice) so the hot key's history spreads over its time slices
+    instead of piling into one reducer."""
+    from schema_validator_spark.operators.temporal import asof_join
+    from schema_validator_spark.plans.inspect import plan_string
+
+    # hot key 0: 800 facts over 40 slices; cold keys 1..199 one fact each
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 800, F.lit(0)).otherwise(F.col("id") - 799).alias("uid"),
+        (F.col("id") * 37.0).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    dim = spark.range(50).select(
+        (F.col("id") % 10).alias("uid"),
+        (F.col("id") * 600.0).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    plain = asof_join(fact, dim, "uid", "ts", "ts")
+    sliced = asof_join(fact, dim, "uid", "ts", "ts", slice_width=1000.0)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, sliced.collect()))
+    p = plan_string(sliced)
+    # the data-sized window sorts within (key, slice) partitions, never (key)
+    assert "hashpartitioning(_k" in p and "_slice" in p, p
+
+
+def test_asof_join_tie_break_modes(spark):
+    from schema_validator_spark.operators.temporal import asof_join
+
+    fact = spark.createDataFrame([(1, 10.0, 100)], "uid long, ts double, event_id long")
+    dim = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 5.0, "b")], "uid long, ts double, profile string"
+    )
+    # payload tie-break: deterministic greatest struct
+    row = asof_join(fact, dim, "uid", "ts", "ts").collect()[0]
+    assert row["profile"] == "b"
+    # 'any' must still produce ONE of the tied rows
+    row = asof_join(fact, dim, "uid", "ts", "ts", tie_break="any").collect()[0]
+    assert row["profile"] in ("a", "b")
+    with pytest.raises(ValueError, match="tie_break"):
+        asof_join(fact, dim, "uid", "ts", "ts", tie_break="max")
