@@ -1818,14 +1818,14 @@ WITH m AS (
 )
 SELECT 'min_rows' AS field, CAST(cnt AS VARCHAR) AS key,
   'TABLE_CHECK_ERROR' AS code, 'Table check failed: ''min_rows''' AS message
-FROM m WHERE NOT (cnt >= 100000)
+FROM m WHERE NOT coalesce(cnt >= 100000, FALSE)
 UNION ALL
 SELECT 'chars_consistent', NULL, 'TABLE_CHECK_ERROR',
   'Table check failed: ''chars_consistent'''
-FROM m WHERE NOT (eq_cnt = text_cnt)
+FROM m WHERE NOT coalesce(eq_cnt = text_cnt, FALSE)
 UNION ALL
 SELECT 'chars_budget', CAST(sumc AS VARCHAR), 'SUM_TOO_BIG', 'corpus too large'
-FROM m WHERE NOT (sumc <= 10000)
+FROM m WHERE NOT coalesce(sumc <= 10000, FALSE)
 """,
         "normalize_url": """
 WITH raw AS (
@@ -1928,7 +1928,7 @@ SELECT doc_id,
           '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
         '<[^>]*>', ' ', 'g'),
       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-    '\\s+', ' ', 'g')) AS extracted
+    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS extracted
 FROM h
 """,
         "windowed_profile": """

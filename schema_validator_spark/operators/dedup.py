@@ -27,10 +27,14 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     cheap next to the per-row hashing it unlocks.  No-op when the scan is
     already parallel (the normal case at real scale)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    # Partition count read from the physical plan JVM-side — no Python-RDD
-    # conversion (no serializer pipeline, no Python wrapper); RDD creation is
-    # lazy so this runs no job.  Driver-side only, once per query.
-    n_parts = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    # Partition count read JVM-side from the NON-adaptive sparkPlan — no
+    # Python-RDD conversion, and (unlike the adaptive executedPlan, whose
+    # doExecute materializes upstream query stages) guaranteed to run no job
+    # regardless of AQE.  Exact only for scan-stage inputs — every caller
+    # here probes a bare parquet/range scan; do not point this helper at a
+    # DataFrame with upstream shuffles (its pre-EnsureRequirements count
+    # would be a guess, and an upstream shuffle already implies parallelism).
+    n_parts = df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
     if n_parts < max(target // 2, 2):
         return df.repartition(target)
     return df

@@ -133,7 +133,10 @@ def extract_text(html):
         ("&amp;", "&"),
     ]:
         s = F.replace(s, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(s, r"\s+", " "))
+    # explicit class, NOT \s: Java's \s includes \x0B (vertical tab) but
+    # RE2/DuckDB's does not — the one dialect divergence that would break
+    # the byte-identical oracle (ADVICE r3)
+    return F.trim(F.regexp_replace(s, r"[ \t\n\r\f\x0B]+", " "))
 
 
 def normalize_url(url):

@@ -190,6 +190,24 @@ def test_extract_text_strips_script_style_entities(spark):
     assert got == "Title A & B <tag> \"q\" 's'"
 
 
+def test_extract_text_whitespace_class_matches_duckdb(spark):
+    """The collapse uses an explicit [ \\t\\n\\r\\f\\x0B]+ class, not \\s:
+    Java's \\s swallows \\x0B while RE2/DuckDB's does not, so a document
+    containing a vertical tab is exactly where the two engines would diverge
+    (ADVICE r3).  Replay the same chain in DuckDB and require byte equality."""
+    import duckdb
+
+    html = "<p>a \x0b b</p><p>x\x0b\ty</p>"
+    df = spark.createDataFrame([(1, html.encode())], "id long, html binary")
+    got = df.select(webpages.extract_text(F.col("html")).alias("t")).collect()[0]["t"]
+    want = duckdb.sql(
+        "SELECT trim(regexp_replace(regexp_replace(?, '<[^>]*>', ' ', 'g'),"
+        " '[ \t\n\r\f\x0B]+', ' ', 'g'))",
+        params=[html],
+    ).fetchone()[0]
+    assert got == want == "a b x y"
+
+
 def test_normalize_url_cases(spark):
     cases = [
         ("  HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&b=2&a=1#frag  ",
