@@ -76,8 +76,14 @@ def vectors(spark):
     vecs = rng.randn(50, 8).astype("float32")
     vecs[1] = vecs[0] + 0.01 * rng.randn(8).astype("float32")  # near dup of 0
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # width declared once at "ingestion" — the ANN operators read it from
+    # column metadata instead of probing a row (dedup.declare_dim)
     return (
-        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        dedup.declare_dim(
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            "embedding",
+            8,
+        ),
         vecs,
     )
 
@@ -336,7 +342,7 @@ def test_embedding_near_dup_banded_recall(spark):
     found = {
         (r["id_a"], r["id_b"])
         for r in dedup.embedding_near_duplicates(
-            df, "vec_id", threshold=0.99
+            df, "vec_id", threshold=0.99, dim=16
         ).collect()
     }
     recall = len(found & truth) / len(truth)
