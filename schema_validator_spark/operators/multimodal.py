@@ -1,11 +1,12 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 
-Image decode/resize use Pillow WHEN AVAILABLE (optional import at call time —
-``fake=False`` + Pillow present = real pixels); the deterministic ``fake``
-path remains the test/oracle substrate everywhere, and environments without
-the libraries get a clear NotImplementedError instead of a silent fallback.
-Audio/video frame extraction (libav) remains stubbed.  Everything Spark-side
+Image decode/resize use Pillow WHEN AVAILABLE and audio/video decode/frame
+extraction use PyAV (libav) WHEN AVAILABLE — both optional imports resolved
+at call time (``fake=False`` + library present = real pixels/samples); the
+deterministic ``fake`` path remains the test/oracle substrate everywhere,
+and environments without the libraries get a clear NotImplementedError
+instead of a silent fallback.  Everything Spark-side
 is real and tested either way: the media schema, the mapInPandas batch
 iteration, the UDF signatures, output schemas, and partition-preserving
 behaviour.
@@ -42,6 +43,18 @@ def _pillow():
         return None
 
 
+def _pyav():
+    """Optional PyAV (libav bindings) import — same call-time pattern as
+    ``_pillow``: audio/video decode is real where the library exists, the
+    deterministic fake path stays the test/oracle substrate everywhere."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
 def _decode_stub(payload: bytes, media_type: str, fake: bool) -> dict:
     """Decoder dispatch.  ``fake=True``: deterministic pseudo-features from
     the bytes (test/oracle substrate).  ``fake=False``: real Pillow decode
@@ -55,10 +68,19 @@ def _decode_stub(payload: bytes, media_type: str, fake: bool) -> dict:
             # fake 4-dim "embedding" from the digest — stable across runs
             "feature": [b / 255.0 for b in digest[:4]],
         }
+    mtype = media_type or ""
+    if mtype.startswith(("video/", "audio/")):
+        av = _pyav()
+        if av is None:
+            raise NotImplementedError(
+                "real audio/video decode needs PyAV (libav); pass fake=True "
+                "for deterministic stub features"
+            )
+        return _av_features(av, payload, mtype)
     Image = _pillow()
-    if Image is None or not (media_type or "").startswith("image/"):
+    if Image is None or not mtype.startswith("image/"):
         raise NotImplementedError(
-            "real decode needs Pillow (images) / libav (audio+video) — not "
+            "real decode needs Pillow (images) / PyAV (audio+video) — not "
             "available here for this media_type; pass fake=True for "
             "deterministic stub features"
         )
@@ -77,6 +99,40 @@ def _decode_stub(payload: bytes, media_type: str, fake: bool) -> dict:
             "content_hash": hashlib.md5(payload or b"").hexdigest(),
             "feature": means + [w / float(h or 1)],
         }
+
+
+def _av_features(av, payload: bytes, mtype: str) -> dict:
+    """Real audio/video features via PyAV.  Video: first keyframe's mean
+    R/G/B + aspect ratio (mirrors the Pillow image feature).  Audio: mean
+    absolute amplitude of the first decoded frame + normalized sample rate,
+    padded to the fixed 4-dim feature width."""
+    import io
+
+    with av.open(io.BytesIO(payload or b"")) as container:
+        if mtype.startswith("video/"):
+            stream = container.streams.video[0]
+            stream.codec_context.skip_frame = "NONKEY"
+            frame = next(container.decode(stream))
+            rgb = frame.to_ndarray(format="rgb24").astype("float64")
+            h, w = rgb.shape[0], rgb.shape[1]
+            means = [float(rgb[:, :, i].mean()) / 255.0 for i in range(3)]
+            feature = means + [w / float(h or 1)]
+        else:
+            stream = container.streams.audio[0]
+            frame = next(container.decode(stream))
+            samples = frame.to_ndarray().astype("float64")
+            peak = max(abs(float(samples.max())), abs(float(samples.min())), 1.0)
+            feature = [
+                float(abs(samples).mean()) / peak,
+                (stream.rate or 0) / 48000.0,
+                float(frame.samples),
+                0.0,
+            ]
+    return {
+        "n_bytes": len(payload or b""),
+        "content_hash": hashlib.md5(payload or b"").hexdigest(),
+        "feature": feature,
+    }
 
 
 FEATURES_DDL = (
@@ -114,27 +170,61 @@ def extract_features(
     return df.mapInPandas(run, FEATURES_DDL)
 
 
+def _real_frames(av, payload: bytes, max_frames: int):
+    """Decode a video container's keyframes via PyAV: (frame_no, md5 of the
+    raw rgb24 pixels) per keyframe, capped at ``max_frames``.  skip_frame =
+    NONKEY makes the demuxer skip non-key packets — bounded work per row even
+    on long clips."""
+    import io
+
+    out = []
+    with av.open(io.BytesIO(payload or b"")) as container:
+        stream = container.streams.video[0]
+        stream.codec_context.skip_frame = "NONKEY"
+        for n, frame in enumerate(container.decode(stream)):
+            if n >= max_frames:
+                break
+            rgb = frame.to_ndarray(format="rgb24")
+            out.append((n, hashlib.md5(rgb.tobytes()).hexdigest()))
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 1024,
     payload_col: str = "payload",
     id_col: str = "media_id",
     fake: bool = True,
+    max_frames: int = 64,
 ) -> DataFrame:
-    """Frame-sampling stub: emits one row per sampled "frame" (byte-window
-    stand-in).  Real implementation would seek keyframes; the Spark shape —
-    one input row fanning out to N output rows inside mapInPandas — is the
-    part that matters and is real."""
+    """Sampled frames, one output row per frame: with ``fake=False`` + PyAV
+    importable the payload is really demuxed and its keyframes decoded
+    (``_real_frames`` — at most ``max_frames`` per row); the deterministic
+    fake hashes fixed byte windows instead (test/oracle substrate).  The
+    Spark shape is identical either way — one input row fanning out to N
+    output rows inside Arrow-batched mapInPandas, payload never emitted."""
 
     out_ddl = "media_id bigint, frame_no int, frame_hash string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = None
+        if not fake:
+            av = _pyav()
+            if av is None:
+                raise NotImplementedError(
+                    "real frame extraction needs PyAV (libav); pass "
+                    "fake=True for the deterministic byte-window stub"
+                )
         for pdf in batches:
             ids, frame_nos, hashes = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not fake:
-                    raise NotImplementedError("real frame extraction not available")
                 payload = payload or b""
+                if not fake:
+                    for n, h in _real_frames(av, payload, max_frames):
+                        ids.append(mid)
+                        frame_nos.append(n)
+                        hashes.append(h)
+                    continue
                 for i in range(0, max(len(payload), 1), every_n_bytes):
                     ids.append(mid)
                     frame_nos.append(i // every_n_bytes)

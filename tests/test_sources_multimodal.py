@@ -162,6 +162,48 @@ def test_multimodal_real_decode_with_pillow(spark):
     assert resized["orig_bytes"] == len(png) and resized["resized_bytes"] > 0
 
 
+def _has_pyav():
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pyav(), reason="PyAV not installed")
+def test_multimodal_real_frames_with_pyav(spark):
+    # real path: encode a 3-frame mpeg4 clip with PyAV itself, then demux +
+    # keyframe-decode it through sample_frames(fake=False) (runs wherever
+    # PyAV exists; the sandbox exercises the fake path + NotImplementedError)
+    import io as _io
+
+    import av
+    import numpy as np
+
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="avi") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 32, 16, "yuv420p"
+        for shade in (0, 128, 255):
+            img = np.full((16, 32, 3), shade, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    clip = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "video/avi", clip, None)], multimodal.MEDIA_SCHEMA_DDL
+    )
+    frames = multimodal.sample_frames(df, fake=False).collect()
+    assert len(frames) >= 1  # at least the first keyframe decodes
+    assert all(r["media_id"] == 1 and len(r["frame_hash"]) == 32 for r in frames)
+    feats = multimodal.extract_features(df, fake=False).collect()[0]
+    assert feats["n_bytes"] == len(clip) and len(feats["feature"]) == 4
+    assert abs(feats["feature"][3] - 2.0) < 1e-6  # 32/16 aspect
+
+
 def test_extract_text_byte_identical(spark):
     # the north-rule per-row invariant: text extracted from the html column
     # is byte-identical to the text the page was rendered from
