@@ -618,14 +618,22 @@ def q_table_checks(spark, sf_dir):
 def q_normalize_url(spark, sf_dir):
     """URL canonicalization byte-checked end-to-end: both sides render the
     same messy raw URL per doc (mixed case, default port, utm params,
-    fragment) and replay the identical normalize chain."""
+    fragment, case-sensitive userinfo, bracketed IPv6 host, '+' and
+    %-escapes in query values) and replay the identical normalize chain."""
     from schema_validator_spark.sources.webpages import normalize_url
 
     docs = _t(spark, sf_dir, "documents")
     raw = F.concat(
-        F.lit("  HTTPS://Host-"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".Example.COM"),
+        F.lit("  HTTPS://"),
+        F.when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("User"), (F.col("doc_id") % 3).cast("string"), F.lit(".N@")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 2, F.lit("[2001:DB8::1]")).otherwise(
+            F.concat(
+                F.lit("Host-"), (F.col("doc_id") % 7).cast("string"), F.lit(".Example.COM")
+            )
+        ),
         F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/Path/"),
         F.col("doc_id").cast("string"),
@@ -634,7 +642,7 @@ def q_normalize_url(spark, sf_dir):
             F.concat(
                 F.lit("?utm_source=t&b="),
                 (F.col("doc_id") % 5).cast("string"),
-                F.lit("&a=1"),
+                F.lit("&a=1&c=x+y%2Fz"),
             ),
         ).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
@@ -1467,6 +1475,76 @@ SELECT f.event_id, f.user_id, f.ts, d.last_purchase
 FROM f ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.ts
 """
 
+# DuckDB replay of webpages.normalize_url, factored so the driver oracle
+# and the Hypothesis URL property test (tests/test_property_parity.py) run
+# the IDENTICAL chain — drift between the two would silently weaken the
+# byte-parity property.  _NORM_URL_CTES expects a CTE ``raw(doc_id, r)``.
+_NORM_URL_RAW_SQL = """
+  SELECT doc_id,
+    '  HTTPS://'
+      || CASE WHEN doc_id % 5 = 1
+           THEN 'User' || CAST(doc_id % 3 AS VARCHAR) || '.N@' ELSE '' END
+      || CASE WHEN doc_id % 6 = 2 THEN '[2001:DB8::1]'
+              ELSE 'Host-' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' END
+      || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+      || '/Path/' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0
+           THEN '?utm_source=t&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1&c=x+y%2Fz'
+           ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS r
+  FROM documents
+"""
+
+_NORM_URL_CTES = """
+s1 AS (SELECT doc_id, r, regexp_replace(trim(r), '#.*', '', 'g') AS u FROM raw),
+s2 AS (
+  SELECT doc_id, r, u,
+    coalesce(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT *, coalesce(regexp_extract(rest, '^([^/?]*)', 1), '') AS raw_auth FROM s2
+),
+s3b AS (
+  SELECT *,
+    coalesce(regexp_extract(raw_auth, '^(.*@)', 1), '') AS userinfo,
+    lower(regexp_replace(raw_auth, '^.*@', '')) AS hp
+  FROM s3
+),
+s4 AS (
+  SELECT *,
+    userinfo || CASE WHEN scheme = 'http' AND hp LIKE '%:80'
+           THEN substr(hp, 1, length(hp) - 3)
+         WHEN scheme = 'https' AND hp LIKE '%:443'
+           THEN substr(hp, 1, length(hp) - 4)
+         ELSE hp END AS host,
+    substr(rest, length(raw_auth) + 1) AS pathq
+  FROM s3b
+),
+s5 AS (
+  SELECT *,
+    CASE WHEN coalesce(regexp_extract(pathq, '^([^?]*)', 1), '') = '' THEN '/'
+         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+    coalesce(array_to_string(
+      list_sort(
+        list_filter(
+          string_split(coalesce(regexp_extract(pathq, '\\?(.*)', 1), ''), '&'),
+          p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+        )
+      ), '&'), '') AS q
+  FROM s4
+)
+"""
+
+_NORM_URL_FINAL = """
+SELECT doc_id,
+  CASE WHEN scheme = '' THEN trim(r)
+       ELSE scheme || '://' || host || path
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END END AS norm_url
+FROM s5
+"""
+
 # range_join broadcast and shuffle-hash arms are physical variants of the
 # same logical join — one oracle serves both.
 _RANGE_SQL = """
@@ -1827,57 +1905,11 @@ UNION ALL
 SELECT 'chars_budget', CAST(sumc AS VARCHAR), 'SUM_TOO_BIG', 'corpus too large'
 FROM m WHERE NOT coalesce(sumc <= 10000, FALSE)
 """,
-        "normalize_url": """
-WITH raw AS (
-  SELECT doc_id,
-    '  HTTPS://Host-' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
-      || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
-      || '/Path/' || CAST(doc_id AS VARCHAR)
-      || CASE WHEN doc_id % 2 = 0
-           THEN '?utm_source=t&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
-           ELSE '' END
-      || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS r
-  FROM documents
-),
-s1 AS (SELECT doc_id, r, regexp_replace(trim(r), '#.*', '') AS u FROM raw),
-s2 AS (
-  SELECT doc_id, r, u,
-    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-  FROM s1
-),
-s3 AS (
-  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS raw_host FROM s2
-),
-s4 AS (
-  SELECT *,
-    CASE WHEN scheme = 'http' AND lower(raw_host) LIKE '%:80'
-           THEN substr(lower(raw_host), 1, length(raw_host) - 3)
-         WHEN scheme = 'https' AND lower(raw_host) LIKE '%:443'
-           THEN substr(lower(raw_host), 1, length(raw_host) - 4)
-         ELSE lower(raw_host) END AS host,
-    substr(rest, length(raw_host) + 1) AS pathq
-  FROM s3
-),
-s5 AS (
-  SELECT *,
-    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
-         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
-    coalesce(array_to_string(
-      list_sort(
-        list_filter(
-          string_split(coalesce(regexp_extract(pathq, '\\?(.*)', 1), ''), '&'),
-          p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
-        )
-      ), '&'), '') AS q
-  FROM s4
-)
-SELECT doc_id,
-  CASE WHEN scheme = '' THEN trim(r)
-       ELSE scheme || '://' || host || path
-         || CASE WHEN q = '' THEN '' ELSE '?' || q END END AS norm_url
-FROM s5
-""",
+        "normalize_url": "WITH raw AS (\n"
+        + _NORM_URL_RAW_SQL
+        + "),\n"
+        + _NORM_URL_CTES
+        + _NORM_URL_FINAL,
         "canonical_dedup": """
 WITH n AS (
   SELECT doc_id,

@@ -145,29 +145,42 @@ def normalize_url(url):
     default port and tracking params while naming the same page):
 
     - trim; lowercase scheme and host (path/query case preserved)
+    - userinfo (``user:pw@host``) passes through case-preserved — it is
+      case-sensitive per RFC 3986; only the host after the LAST ``@`` is
+      lowercased
     - strip the fragment
-    - drop the scheme's default port (:80 http, :443 https)
+    - drop the scheme's default port (:80 http, :443 https) — bracket-safe
+      for IPv6 hosts: ``[::1]:443`` → ``[::1]``, while a bare ``[2001:db8::80]``
+      keeps its trailing hex group (the ``]`` breaks the suffix match)
     - empty path → "/"
     - drop ``utm_``-prefixed query params, sort the rest byte-wise
+      (``+`` and %-escapes in values pass through untouched, case preserved)
 
     Native expressions only, every regex dialect-neutral (Java regex ≡ RE2),
     no LIKE wildcards — so an external engine replays it byte-for-byte (the
-    ``normalize_url`` driver query re-implements the chain in DuckDB).
+    ``normalize_url`` driver query re-implements the chain in DuckDB, and a
+    Hypothesis property test drives random grammar-built URLs through BOTH
+    engines asserting byte equality).
     A value without a ``scheme://`` prefix is returned trimmed, unchanged.
     """
     u = F.regexp_replace(F.trim(url), r"#.*", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    host = F.when(
-        (scheme == "http") & host.endswith(":80"),
-        F.substring(host, 1, F.length(host) - 3),
+    # authority splits at the LAST '@' (greedy .*@): userinfo keeps its
+    # case, only host:port is lowercased
+    raw_auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    userinfo = F.regexp_extract(raw_auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(raw_auth, r"^.*@", ""))
+    hostport = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
     ).when(
-        (scheme == "https") & host.endswith(":443"),
-        F.substring(host, 1, F.length(host) - 4),
-    ).otherwise(host)
-    # path+query = rest minus the raw (pre-lowercase) host prefix
-    raw_host = F.regexp_extract(rest, r"^([^/?]*)", 1)
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    host = F.concat(userinfo, hostport)
+    # path+query = rest minus the raw (pre-normalization) authority prefix
+    raw_host = raw_auth
     pathq = F.substring(rest, F.length(raw_host) + 1, F.length(rest))
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -207,3 +207,79 @@ def test_case_transform_paths_agree(spark, values):
     b = {r["i"]: r["v"] for r in pand.apply(df).select("i", "v").collect()}
     for i, v in enumerate(values):
         assert a[i] == b[i], f"{v!r}: jvm={a[i]!r} pandas={b[i]!r}"
+
+
+# -- URL canonicalizer: Spark vs DuckDB byte-parity --------------------------
+# The grammar deliberately covers the round-3 advice list: case-sensitive
+# userinfo (incl. multiple '@'), bracketed IPv6 hosts with/without default
+# ports, %-escape case in paths and query values, '+' in query values,
+# utm_ params, empty params, fragments, no-scheme values.
+
+_URL_SCHEMES = st.sampled_from(
+    ["http", "HTTP", "hTTps", "https", "HTTPS", "Ftp", ""]
+)
+_URL_USERINFO = st.one_of(
+    st.just(""),
+    st.from_regex(r"[A-Za-z0-9.%:+_-]{1,8}@", fullmatch=True),
+    st.from_regex(r"[A-Za-z]{1,4}@[A-Za-z]{1,4}@", fullmatch=True),  # last-@ split
+)
+_URL_HOSTS = st.one_of(
+    st.from_regex(r"[A-Za-z0-9-]{1,8}(\.[A-Za-z0-9-]{1,8}){0,2}", fullmatch=True),
+    st.sampled_from(["[2001:DB8::1]", "[::1]", "[fe80::80]", "[FE80::443]"]),
+)
+_URL_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_URL_PATHS = st.one_of(
+    st.just(""),
+    st.from_regex(r"/[A-Za-z0-9%2Ff+._/-]{0,12}", fullmatch=True),
+)
+_URL_PARAMS = st.lists(
+    st.sampled_from(
+        ["utm_source=x", "utm_medium=Y", "a=1", "B=x+y", "c=%2F", "c=%2f", "", "k"]
+    ),
+    max_size=4,
+)
+_URL_FRAGS = st.sampled_from(["", "#frag", "#A#b"])
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(_URL_SCHEMES)
+    if not scheme:
+        return draw(st.sampled_from(["", "  plain text  ", "no-scheme/path?x=1"]))
+    params = draw(_URL_PARAMS)
+    query = "?" + "&".join(params) if params else ""
+    return (
+        draw(st.sampled_from(["", " ", "  "]))
+        + scheme + "://" + draw(_URL_USERINFO) + draw(_URL_HOSTS)
+        + draw(_URL_PORTS) + draw(_URL_PATHS) + query + draw(_URL_FRAGS)
+        + draw(st.sampled_from(["", " "]))
+    )
+
+
+@given(st.lists(_urls(), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_normalize_url_byte_parity_with_duckdb(spark, urls):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from schema_validator_spark.sources import webpages
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, u string"
+    )
+    got = {
+        r["doc_id"]: r["norm_url"]
+        for r in df.select(
+            "doc_id", webpages.normalize_url(F.col("u")).alias("norm_url")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame({"doc_id": range(len(urls)), "u": urls}))
+    sql = (
+        "WITH raw AS (SELECT doc_id, u AS r FROM urls),\n"
+        + entry._NORM_URL_CTES
+        + entry._NORM_URL_FINAL
+    )
+    want = dict(con.sql(sql).fetchall())
+    assert got == want

@@ -261,6 +261,15 @@ def test_normalize_url_cases(spark):
         ("ftp://Files.Example.com/A?b=1", "ftp://files.example.com/A?b=1"),
         ("https://h.example/p?", "https://h.example/p"),
         ("https://h.example/p?a=1&a=0", "https://h.example/p?a=0&a=1"),
+        # userinfo is case-sensitive: preserved, while the host lowercases;
+        # the authority splits at the LAST '@'
+        ("https://User.Name@Host.COM/x", "https://User.Name@host.com/x"),
+        ("http://A@B@Host.org:80/x", "http://A@B@host.org/x"),
+        # bracket-safe default-port strip on IPv6 hosts
+        ("https://[2001:DB8::1]:443/x", "https://[2001:db8::1]/x"),
+        ("http://[FE80::80]/x", "http://[fe80::80]/x"),  # :80 inside brackets kept
+        # '+' and %-escape case in query values pass through untouched
+        ("https://h.example/p?c=%2F&B=x+y", "https://h.example/p?B=x+y&c=%2F"),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], "url string")
     got = [
