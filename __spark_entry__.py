@@ -1265,62 +1265,42 @@ def q_frame_samples(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the driver-gate priority: the driver checks the
+    FIRST 50 entries per round (observed: CORRECTNESS_r03 rows == the first
+    50 keys of the round-3 registry).  Tiers, per VERDICT.md round-3 #3:
+
+      1. touched this round (impl or oracle changed, or brand new) — these
+         MUST get a fresh CORRECTNESS row;
+      2. never driver-checked in any round;
+      3. last driver row is r02 (skipped by the r03 cap);
+      4. rotating remainder of stable r03-green queries.
+
+    The tail beyond position 50 (all r03-green, untouched this round) is
+    covered by the committed local run of tools/oracle_check.py recorded in
+    BENCH/ROUNDLOG_r04.md.
+    """
     return {
-        # row-level combinator parity
-        "validate_flagship": q_validate_flagship,
-        "transform_chain": q_transform_chain,
-        "coerce_number": q_coerce_number,
-        "coerce_string_bool": q_coerce_string_bool,
-        "literal_lang": q_literal_lang,
-        "builtin_patterns": q_builtin_patterns,
-        "optional_vs_missing": q_optional_vs_missing,
-        "json_ingest": q_json_ingest,
-        "object_error": q_object_error,
-        "verdicts_by_lang": q_verdicts_by_lang,
-        "validate_as_typed": q_validate_as_typed,
-        # table-level engine operators
-        "profile_documents": q_profile_documents,
-        "profile_events": q_profile_events,
-        "histogram_nchars": q_histogram_nchars,
-        "duplicate_keys_lang": q_duplicate_keys_lang,
-        "duplicate_keys_salted": q_duplicate_keys_salted,
-        "dedup_agg": q_dedup_agg,
-        "dedup_window": q_dedup_window,
-        "orphans_events": q_orphans_events,
-        "orphans_shuffle_hash": q_orphans_shuffle_hash,
-        "table_constraints": q_table_constraints,
-        "violations_sample": q_violations_sample,
-        "object_transform": q_object_transform,
-        "run_full": q_run_full,
-        "fingerprint_dups": q_fingerprint_dups,
-        "windowed_events": q_windowed_events,
-        "extract_text": q_extract_text,
-        "row_checks": q_row_checks,
-        "heavy_keys": q_heavy_keys,
-        "normalize_url": q_normalize_url,
-        "canonical_dedup": q_canonical_dedup,
-        "table_checks": q_table_checks,
-        "windowed_profile": q_windowed_profile,
-        "dedup_stream_batch": q_dedup_stream_batch,
-        "session_verdicts": q_session_verdicts,
+        # --- tier 1: touched in round 4 -------------------------------
         "asof_join": q_asof_join,
         "asof_join_sliced": q_asof_join_sliced,
         "range_join": q_range_join,
         "range_join_shuffle": q_range_join_shuffle,
-        "psi_drift": q_psi_drift,
-        "psi_multi": q_psi_multi,
-        "ks_exact": q_ks_exact,
-        "ks_drift": q_ks_drift,
-        # training-data operators
-        "minhash_near_dups": q_minhash_near_dups,
+        "normalize_url": q_normalize_url,
+        "canonical_dedup": q_canonical_dedup,
+        "table_checks": q_table_checks,
+        "extract_text": q_extract_text,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_keep_best": q_cluster_keep_best,
-        "sample_stratified": q_sample_stratified,
-        "sample_token_budget": q_sample_token_budget,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_near_dups": q_simhash_near_dups,
-        "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "multimodal_features": q_multimodal_features,
+        "resize_media": q_resize_media,
+        "frame_samples": q_frame_samples,
+        # --- tier 2: never driver-checked -----------------------------
+        "chunk_text": q_chunk_text,
+        "quantize_embeddings": q_quantize_embeddings,
+        # --- tier 3: last driver row is r02 ---------------------------
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "text_metrics": q_text_metrics,
@@ -1329,12 +1309,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "dup_ngrams": q_dup_ngrams,
         "intra_repetition": q_intra_repetition,
-        "chunk_text": q_chunk_text,
-        "quantize_embeddings": q_quantize_embeddings,
         "winnow_fingerprint": q_winnow_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "resize_media": q_resize_media,
-        "frame_samples": q_frame_samples,
+        # --- tier 4: rotating stable remainder (r03-green) ------------
+        "validate_flagship": q_validate_flagship,
+        "verdicts_by_lang": q_verdicts_by_lang,
+        "profile_documents": q_profile_documents,
+        "duplicate_keys_salted": q_duplicate_keys_salted,
+        "orphans_events": q_orphans_events,
+        "table_constraints": q_table_constraints,
+        "violations_sample": q_violations_sample,
+        "run_full": q_run_full,
+        "fingerprint_dups": q_fingerprint_dups,
+        "windowed_events": q_windowed_events,
+        "row_checks": q_row_checks,
+        "heavy_keys": q_heavy_keys,
+        "windowed_profile": q_windowed_profile,
+        "dedup_stream_batch": q_dedup_stream_batch,
+        "session_verdicts": q_session_verdicts,
+        "psi_drift": q_psi_drift,
+        "psi_multi": q_psi_multi,
+        "ks_exact": q_ks_exact,
+        "ks_drift": q_ks_drift,
+        "sample_stratified": q_sample_stratified,
+        "sample_token_budget": q_sample_token_budget,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        # --- beyond the 50-cap: r03-green + untouched this round; -----
+        # --- re-verified locally (see BENCH/ROUNDLOG_r04.md) ----------
+        "transform_chain": q_transform_chain,
+        "coerce_number": q_coerce_number,
+        "coerce_string_bool": q_coerce_string_bool,
+        "literal_lang": q_literal_lang,
+        "builtin_patterns": q_builtin_patterns,
+        "optional_vs_missing": q_optional_vs_missing,
+        "json_ingest": q_json_ingest,
+        "object_error": q_object_error,
+        "validate_as_typed": q_validate_as_typed,
+        "object_transform": q_object_transform,
+        "profile_events": q_profile_events,
+        "histogram_nchars": q_histogram_nchars,
+        "duplicate_keys_lang": q_duplicate_keys_lang,
+        "dedup_agg": q_dedup_agg,
+        "dedup_window": q_dedup_window,
+        "orphans_shuffle_hash": q_orphans_shuffle_hash,
     }
 
 
