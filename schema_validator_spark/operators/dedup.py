@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -98,6 +98,48 @@ def minhash_signature(
     return F.array(*sig)
 
 
+def _non_degenerate_text(df: DataFrame, text_col: str = "_text") -> DataFrame:
+    """Drop docs whose text is NULL or whitespace-only BEFORE signatures.
+
+    Every such doc gets the IDENTICAL degenerate signature/fingerprint (the
+    hash of an empty shingle set is a constant), so m of them in a corpus
+    put m·(m−1)/2 pairs through the candidate join — at crawl scale ~1% null
+    pages turns a 24M-doc run into a 3·10¹⁰-pair join that never finishes
+    (measured on the bench substrate: 247k null texts ⇒ 3·10¹⁰ pairs).
+    Null/empty pages can't be MEANINGFUL near-dup candidates, so the guard
+    changes no sensible result; it is the difference between "works on the
+    test table" and "works on a crawl".
+    """
+    return df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+
+
+def _cap_hot_buckets(
+    entries: DataFrame, key_cols: list, max_bucket_size: "int | None"
+) -> DataFrame:
+    """Drop candidate buckets with more than ``max_bucket_size`` members.
+
+    A bucket of m identical-boilerplate pages contributes m²/2 pairs; real
+    crawls have single templates repeated 10⁶+ times, so an uncapped
+    pair-listing is quadratic in the hottest template no matter how good the
+    banding is.  The count runs as a window over the SAME keys the self-join
+    shuffles on, so the exchange is reused (no extra shuffle).  Docs in a
+    dropped bucket usually still pair through their other bands/blocks;
+    clustering flows (near_dup_clusters) only need SOME edge per group.
+    None (default) = off — the oracle-checked configurations keep exact
+    pair-listing semantics.
+    """
+    if max_bucket_size is None:
+        return entries
+    w = Window.partitionBy(*key_cols)
+    return (
+        entries.withColumn("_bkt_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bkt_n") <= max_bucket_size)
+        .drop("_bkt_n")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -106,12 +148,17 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hash_fn: str = "xxhash64",
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: rows sharing any band bucket.
 
     bands × rows_per_band = num_hashes; with 8 bands of 4 the match threshold
     is roughly J ≈ (1/8)^(1/4) ≈ 0.6.  Output: (id_a, id_b, est_jaccard) with
     id_a < id_b, est_jaccard = fraction of equal minhash components.
+
+    NULL/whitespace-only docs are excluded up front (see
+    ``_non_degenerate_text``); ``max_bucket_size`` optionally drops
+    pathologically hot buckets (see ``_cap_hot_buckets``).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -122,8 +169,10 @@ def minhash_lsh_candidates(
     # num_hashes signature components would recompute it num_hashes times.
     # (CollapseProject keeps the split: the alias is non-cheap and multiply
     # referenced.)
-    shingled = _ensure_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    shingled = _non_degenerate_text(
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        )
     ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_shingles"))
     sig = minhash_signature(F.col("_shingles"), num_hashes, hash_fn)
     with_sig = shingled.select("_id", sig.alias("_sig"))
@@ -146,6 +195,7 @@ def minhash_lsh_candidates(
             ])
         ).alias("_band"),
     ).select("_id", "_sig", "_band.band", "_band.bucket")
+    band_entries = _cap_hot_buckets(band_entries, ["band", "bucket"], max_bucket_size)
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
@@ -327,8 +377,10 @@ def simhash_fingerprints(
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    sh = _non_degenerate_text(
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        )
     ).select(
         "_id",
         F.explode(
@@ -380,10 +432,15 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     block_bits: "int | None" = None,
     hash_fn: str = "xxhash64",
+    max_bucket_size: "int | None" = None,
 ) -> DataFrame:
     """SimHash near-dups: block on bit-slices (4 rotations) so only rows
     agreeing on one block are compared — a pigeonhole guarantee for
     max_hamming ≤ 3 over 4 blocks.  Output: (id_a, id_b, hamming).
+
+    NULL/whitespace-only docs are excluded before fingerprinting and
+    ``max_bucket_size`` optionally drops pathologically hot blocks — see
+    ``_non_degenerate_text`` / ``_cap_hot_buckets``.
 
     ``block_bits`` defaults to total_bits // (max_hamming + 1) — enough
     blocks that two fingerprints within ``max_hamming`` MUST agree on one
@@ -417,6 +474,7 @@ def simhash_near_duplicates(
             ])
         ).alias("_b"),
     ).select("_id", "_fp", "_b.blk", "_b.key")
+    blocked = _cap_hot_buckets(blocked, ["blk", "key"], max_bucket_size)
     pairs = (
         blocked.alias("l")
         .join(

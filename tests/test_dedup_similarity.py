@@ -515,3 +515,38 @@ def test_quantize_embedding_roundtrip(spark, vectors):
     z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
     r = z.select(similarity.quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
     assert r["scale"] == 0.0 and set(r["q"]) == {0}
+
+
+def test_degenerate_text_guard_minhash_simhash(spark):
+    """NULL / whitespace-only docs must NOT pair with each other: all of
+    them share the identical degenerate signature, so m such docs would put
+    m²/2 pairs through the candidate join (the 24M-row bench substrate has
+    247k null pages ⇒ 3·10¹⁰ pairs without the guard)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(1, base), (2, base)] + [
+        (i, None if i % 2 else "   ") for i in range(10, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.minhash_near_duplicates(df, "doc_id", threshold=0.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(1, 2)}
+    sh = dedup.simhash_near_duplicates(df, "doc_id", max_hamming=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(1, 2)}
+
+
+def test_max_bucket_size_caps_hot_template(spark):
+    """A template repeated m times is an m²/2-pair bomb; max_bucket_size
+    drops the hot bucket while distinct near-dup groups still pair."""
+    boiler = "identical boilerplate navigation footer text repeated often " * 5
+    other = "a genuinely distinct article body about spark aggregation " * 5
+    rows = [(i, boiler) for i in range(100)] + [(100, other), (101, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_near_duplicates(df, "doc_id", threshold=0.5)
+    assert uncapped.count() == 100 * 99 // 2 + 1
+    capped = dedup.minhash_near_duplicates(
+        df, "doc_id", threshold=0.5, max_bucket_size=50
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(100, 101)}
+    sh_capped = dedup.simhash_near_duplicates(
+        df, "doc_id", max_hamming=3, max_bucket_size=50
+    )
+    assert {(r["id_a"], r["id_b"]) for r in sh_capped.collect()} == {(100, 101)}
