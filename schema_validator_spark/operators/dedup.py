@@ -140,6 +140,89 @@ def _cap_hot_buckets(
     )
 
 
+def _normalized_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _words): whitespace-normalized lowercase word array, with the
+    regex+split materialized in its OWN projection.
+
+    This is the load-bearing projection split of the whole dedup stack.
+    Higher-order functions (transform/aggregate) are evaluated INTERPRETED —
+    they never enter whole-stage codegen — and interpreted eval re-executes
+    a lambda's free sub-expressions per element.  Inlining
+    ``split(regexp_replace(lower(trim(text))))`` into a per-gram lambda
+    therefore re-runs the regex ONCE PER GRAM: measured ~3.5 ms/doc on
+    366-char crawl pages (~100 docs/sec/core — a hang at 24M rows).  With
+    ``_words`` aliased here, CollapseProject keeps the split (non-cheap,
+    multiply-referenced) and the regex runs once per doc.
+    """
+    return _non_degenerate_text(
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        )
+    ).select(
+        "_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("_text"))), r"\s+", " "), " "
+        ).alias("_words"),
+    )
+
+
+def shingled_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 3,
+    max_shingles: "int | None" = None,
+) -> DataFrame:
+    """(_id, _shingles): DISTINCT word n-grams per non-degenerate doc.
+
+    Equivalent to ``word_shingles`` on the same text (short docs fall back to
+    the single whole-normalized-text shingle) but built over the materialized
+    ``_words`` projection, so each gram lambda costs one slice+concat instead
+    of a full regex+split re-evaluation (see ``_normalized_words``).
+    """
+    words = _normalized_words(df, id_col, text_col)
+    w = F.col("_words")
+    cnt = F.size(w)
+    grams = F.when(
+        cnt >= n_gram,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n_gram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n_gram)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    sh = F.array_distinct(grams)
+    if max_shingles is not None:
+        sh = F.slice(sh, 1, max_shingles)
+    return words.select("_id", sh.alias("_shingles"))
+
+
+def exploded_gram_stream(
+    df: DataFrame, id_col: str, text_col: str = "text", n_gram: int = 3
+) -> DataFrame:
+    """(_id, _g): one row per word-n-gram POSITION — the zero-HOF shape.
+
+    Explodes gram positions (an int sequence) and builds each gram natively
+    with ``concat_ws(slice(_words, pos, n))`` AFTER the Generate, so every
+    expression stays inside whole-stage codegen — no higher-order function
+    anywhere, no interpreted fallback.  Emits duplicate grams (no
+    array_distinct); use only under aggregates that are multiset-invariant
+    (MIN for MinHash signatures).  Short docs emit the whole normalized text
+    as their single gram, matching ``word_shingles``' fallback.
+    """
+    words = _normalized_words(df, id_col, text_col)
+    n = F.size(F.col("_words"))
+    return words.select(
+        "_id",
+        "_words",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - (n_gram - 1), F.lit(1)))
+        ).alias("_pos"),
+    ).select(
+        "_id",
+        F.concat_ws(" ", F.slice(F.col("_words"), F.col("_pos"), n_gram)).alias("_g"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -159,23 +242,37 @@ def minhash_lsh_candidates(
     NULL/whitespace-only docs are excluded up front (see
     ``_non_degenerate_text``); ``max_bucket_size`` optionally drops
     pathologically hot buckets (see ``_cap_hot_buckets``).
+
+    Signatures are computed as explode(gram positions) → per-gram native
+    hashes → hash-agg MIN per doc, NOT as array_min(transform(...)) per row:
+    higher-order functions never enter whole-stage codegen and their
+    interpreted eval re-runs the shingle split per gram (~3.5 ms/doc
+    measured — see ``_normalized_words``), while this shape is 100% codegen
+    with a map-side-combined single shuffle keyed by doc id (~32 longs/doc).
+    MIN is multiset-invariant, so skipping array_distinct changes nothing;
+    both hash families produce bit-identical signatures to the HOF form
+    (lexicographic MIN for the md5 family equals array_min on strings).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    # Materialize shingles in their own projection so the (expensive) shingle
-    # construction is evaluated ONCE per row — inlining it into each of the
-    # num_hashes signature components would recompute it num_hashes times.
-    # (CollapseProject keeps the split: the alias is non-cheap and multiply
-    # referenced.)
-    shingled = _non_degenerate_text(
-        _ensure_parallelism(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        )
-    ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_shingles"))
-    sig = minhash_signature(F.col("_shingles"), num_hashes, hash_fn)
-    with_sig = shingled.select("_id", sig.alias("_sig"))
+    grams = exploded_gram_stream(df, id_col, text_col, n_gram)
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_g"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_g")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    with_sig = grams.groupBy("_id").agg(*aggs).select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
+    )
 
     def _bucket(b: int):
         comps = [F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
@@ -185,35 +282,38 @@ def minhash_lsh_candidates(
             return F.md5(F.concat_ws("|", *[c.cast("string") for c in comps]))
         return F.xxhash64(F.lit(b), *comps).cast("string")
 
+    # Candidates join on (band, bucket) with IDS ONLY — the 32-component
+    # signature (~260 B/doc) stays out of the 8×-amplified band shuffle
+    # (carrying it costs ~n_docs × bands × 260 B × both sides ≈ 28 GB of
+    # shuffle at 24M docs; ids-only is ~25× lighter).  Signatures are joined
+    # back once per side onto the (few) surviving candidate pairs for the
+    # est_jaccard verify — the classic candidates-then-verify split.
     band_entries = with_sig.select(
         "_id",
-        "_sig",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("_band"),
-    ).select("_id", "_sig", "_band.band", "_band.bucket")
+    ).select("_id", "_band.band", "_band.bucket")
     band_entries = _cap_hot_buckets(band_entries, ["band", "bucket"], max_bucket_size)
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("sig_a"),
-            F.col("r._sig").alias("sig_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = with_sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sig_b = with_sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    pairs = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.size(
             F.filter(
@@ -262,9 +362,9 @@ def ngram_jaccard_pairs(
     hotter than the cap is not a meaningful near-dup.  Pass
     ``max_doc_freq=None`` to disable.  Output: (id_a, id_b, jaccard).
     """
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_sh"))
+    sh = shingled_docs(df, id_col, text_col, n_gram).select(
+        "_id", F.col("_shingles").alias("_sh")
+    )
     exploded = sh.select("_id", F.explode("_sh").alias("_g"))
     if max_doc_freq is not None:
         rare = (
@@ -377,16 +477,11 @@ def simhash_fingerprints(
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
-    sh = _non_degenerate_text(
-        _ensure_parallelism(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        )
-    ).select(
-        "_id",
-        F.explode(
-            F.slice(word_shingles(F.col("_text"), n_gram), 1, SIMHASH_MAX_SHINGLES)
-        ).alias("_g"),
-    ).select("_id", hashed.alias("_h"))
+    sh = shingled_docs(
+        df, id_col, text_col, n_gram, max_shingles=SIMHASH_MAX_SHINGLES
+    ).select("_id", F.explode("_shingles").alias("_g")).select(
+        "_id", hashed.alias("_h")
+    )
 
     # Pack 4 per-bit set-counters into 16-bit lanes of one long: bits/4 native
     # sum aggregates instead of one per bit (4x fewer agg-buffer updates;

@@ -179,12 +179,10 @@ def duplicate_ngram_fraction(
     Output: (doc_id, dup_ngram_frac, n_ngrams)."""
     from pyspark.sql import Window
 
-    from .dedup import _ensure_parallelism, word_shingles
+    from .dedup import shingled_docs
 
-    sh = _ensure_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    ).select("_id", word_shingles(F.col("_text"), n_gram).alias("_sh"))
-    ex = sh.select("_id", F.explode("_sh").alias("_g"))
+    sh = shingled_docs(df, id_col, text_col, n_gram)
+    ex = sh.select("_id", F.explode("_shingles").alias("_g"))
     ann = ex.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("_g"))
     )

@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Big shuffles must not be capped at shuffle.partitions: start AQE
+        # at 8× and let it coalesce DOWN per-stage from runtime sizes.  A
+        # 48M-row band join at 32 partitions sorts 1.5M rows/partition and
+        # spills; at 256 it stays in memory, while sub-MB shuffles still
+        # coalesce to a handful of partitions.  (On a real cluster this is
+        # the same setting, just thousands instead of hundreds.)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * shuffle_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", max_part)
