@@ -1200,15 +1200,35 @@ def q_intra_repetition(spark, sf_dir):
     """Within-document repetition (Gopher-style): 1 − distinct/total word
     3-grams, pure per-row native expression."""
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return docs.select(
-        "doc_id", TQ.intra_doc_repetition(F.col("text"), 3).alias("repetition")
+    # materialize the word split in its own projection: interpreted HOF
+    # lambdas re-run free subexpressions per gram (see dedup._normalized_words)
+    words = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("_words"),
+    )
+    return words.select(
+        "doc_id",
+        TQ.intra_doc_repetition(F.lit(None), 3, words=F.col("_words")).alias(
+            "repetition"
+        ),
     )
 
 
 def q_winnow_fingerprint(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return df.select(
-        "doc_id", TQ.fingerprint_winnow(F.col("text"), k=16).alias("winnow")
+    norm = df.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    )
+    return norm.select(
+        "doc_id",
+        TQ.fingerprint_winnow(
+            F.lit(None), k=16, normalized=F.col("_norm")
+        ).alias("winnow"),
     )
 
 

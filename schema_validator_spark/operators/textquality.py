@@ -108,13 +108,23 @@ def fingerprint_exact(text: Column) -> Column:
     return F.md5(normalized)
 
 
-def fingerprint_winnow(text: Column, k: int = 16) -> Column:
+def fingerprint_winnow(
+    text: Column, k: int = 16, normalized: "Column | None" = None
+) -> Column:
     """Winnowing-style robust fingerprint: minimum md5 over the document's
     character k-grams (min-hash of the k-gram set).  Local edits leave most
     k-grams intact, so near-identical docs usually share the fingerprint.
     Built from sequence/transform/array_min — fully native + SQL-expressible.
+
+    HOT-PATH CALLERS MUST PASS ``normalized``: a column holding
+    ``regexp_replace(lower(trim(text)), '\\s+', ' ')`` materialized in its
+    OWN projection.  transform() is evaluated interpreted and re-runs a
+    lambda's free sub-expressions per element, so inlining the regex here
+    costs one regexp_replace per k-GRAM (~350/doc on crawl pages) instead
+    of one per doc — see dedup._normalized_words for the full analysis.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    if normalized is None:
+        normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     n = F.length(normalized)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
@@ -139,12 +149,20 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def intra_doc_repetition(text: Column, n_gram: int = 3) -> Column:
+def intra_doc_repetition(
+    text: Column, n_gram: int = 3, words: "Column | None" = None
+) -> Column:
     """Gopher-style within-document repetition: 1 − distinct/total word
     n-grams.  High values flag boilerplate/spam (repeated phrases).  Native
-    array expressions, zero shuffle — a pure per-row signal."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    words = F.split(normalized, " ")
+    array expressions, zero shuffle — a pure per-row signal.
+
+    HOT-PATH CALLERS MUST PASS ``words``: the whitespace-normalized
+    lowercase word array materialized in its OWN projection — interpreted
+    transform() re-runs free sub-expressions per element, so inlining the
+    split costs one regex per GRAM instead of per doc (see
+    dedup._normalized_words)."""
+    if words is None:
+        words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     count = F.size(words)
     grams = F.when(
         count >= n_gram,
@@ -152,7 +170,7 @@ def intra_doc_repetition(text: Column, n_gram: int = 3) -> Column:
             F.sequence(F.lit(1), count - (n_gram - 1)),
             lambda i: F.concat_ws(" ", F.slice(words, i, n_gram)),
         ),
-    ).otherwise(F.array(normalized))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.round(

@@ -71,9 +71,17 @@ def get_spark(
         # upper(x), which is NOT semantics-preserving under Unicode
         # SpecialCasing (upper(lower('İ')) is 'I'+U+0307, upper('İ') is 'İ')
         # — the reference applies transforms sequentially, so must we.
+        # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` above
+        # every explode; predicate pushdown then SUBSTITUTES the aliased
+        # array expression into those filters below our projection splits,
+        # re-inlining the whole shingle chain (interpreted HOF → the
+        # normalization regex re-runs per gram) TWICE per scanned row —
+        # measured 2.3× on the simhash kernel.  Our dedup paths prune
+        # degenerate docs explicitly, so the rule only costs.
         .config(
             "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.SimplifyCaseConversionExpressions",
+            "org.apache.spark.sql.catalyst.optimizer.SimplifyCaseConversionExpressions,"
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
     if executor_mem:

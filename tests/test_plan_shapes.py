@@ -193,3 +193,26 @@ def test_plan_stats_helper(spark):
 
     stats = plan_stats(duplicate_keys(_docs(spark), ["source"]))
     assert stats["shuffles"] == 1  # one hash-agg exchange, nothing else
+
+
+def test_shingle_chain_not_duplicated_into_filters(spark):
+    """The normalization regex must appear ONCE per shingle pipeline, in its
+    own projection.  InferFiltersFromGenerate + predicate pushdown would
+    substitute the whole (interpreted, per-gram re-evaluated) shingle chain
+    into scan filters TWICE per row — session.py excludes the rule; this
+    guards the exclusion (measured 2.3x on the simhash kernel)."""
+    import io
+    import contextlib
+
+    from schema_validator_spark.operators import dedup
+
+    for df in (
+        dedup.minhash_near_duplicates(_docs(spark), "doc_id", threshold=0.5),
+        dedup.simhash_near_duplicates(_docs(spark), "doc_id", max_hamming=3),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        for block in buf.getvalue().split("\n\n"):
+            if block.lstrip().startswith("(") and ") Filter" in block.split("\n")[0]:
+                assert "regexp_replace" not in block, block.split("\n")[0]
