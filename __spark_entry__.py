@@ -1041,6 +1041,7 @@ def q_cosine_topk(spark, sf_dir):
         k=10,
         corpus_id="vec_id",
         query_id="vec_id",
+        dim=64,
     )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")

@@ -671,40 +671,30 @@ def embedding_near_duplicates(
     1 − (1 − 0.955⁸)⁴ ≈ 0.99.  Every candidate is exactly verified, so
     banding only adds recall, never false positives.
     """
-    from .similarity import dot, hyperplane_signature, norm
+    from .similarity import dot, norm, srp_band_signatures
 
     if dim is None:
         dim = dim_hint(df, vec_col)
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # norm folded once per doc (higher-order folds are interpreted — don't
-    # re-fold per candidate pair); value identical, same summation order
+    # norm folded once per doc (dim-unrolled → whole-stage codegen; value
+    # identical, same summation order); all band signatures in ONE
+    # vectorized Arrow batch per task (see srp_band_signatures)
     sigged = v.select(
         "_id",
         "_v",
-        norm(F.col("_v")).alias("_n"),
-        *[
-            hyperplane_signature(
-                F.col("_v"), dim, num_planes, seed + EMBED_BAND_SEED_STRIDE * b
-            ).alias(f"_sig{b}")
-            for b in range(bands)
-        ],
+        norm(F.col("_v"), dim).alias("_n"),
+        srp_band_signatures(
+            F.col("_v"), dim, num_planes, bands, seed, EMBED_BAND_SEED_STRIDE
+        ).alias("_sigs"),
     )
+    # ids-only through the band-amplified self-join (the vectors+norms are
+    # ~520 B/row; carrying them through bands× both sides dwarfs the ids —
+    # same candidates-then-verify split as minhash_lsh_candidates), then the
+    # few surviving pairs join the vectors back for exact verification.
     entries = sigged.select(
-        "_id",
-        "_v",
-        "_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"_sig{b}").alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_e"),
-    ).select("_id", "_v", "_n", "_e.band", "_e.bucket")
-    pairs = (
+        "_id", F.posexplode("_sigs").alias("band", "bucket")
+    )
+    cand = (
         entries.alias("l")
         .join(
             entries.alias("r"),
@@ -712,20 +702,34 @@ def embedding_near_duplicates(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._v").alias("_va"),
-            F.col("r._v").alias("_vb"),
-            F.col("l._n").alias("_na"),
-            F.col("r._n").alias("_nb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vn = sigged.select("_id", "_v", "_n")
+    pairs = (
+        cand.join(
+            vn.select(
+                F.col("_id").alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("_id").alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                dot(F.col("_va"), F.col("_vb"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
             ).alias("cosine"),
         )
     )

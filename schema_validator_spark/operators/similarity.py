@@ -17,30 +17,54 @@ are seeded numpy constants shipped as literals).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+def dot(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    """vec·vec.  With ``dim`` known the product chain unrolls into a FLAT
+    native expression — higher-order folds are evaluated interpreted and
+    kick the whole projection out of whole-stage codegen, so the unrolled
+    form is the scale path (pass ``dim`` everywhere on hot paths).  The
+    summation order is the identical left fold (((0+t₁)+t₂)+…), so doubles
+    are bit-for-bit the same as the HOF form.  Vectors must be ``dim``
+    long: missing components read NULL (``try_element_at``) and null the
+    result, where the zip form would zip to the longer length."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    )
+    expr = F.lit(0.0)
+    for i in range(1, dim + 1):
+        expr = expr + (
+            F.try_element_at(a, F.lit(i)).cast("double")
+            * F.try_element_at(b, F.lit(i)).cast("double")
+        )
+    return expr
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def norm(a: Column, dim: "int | None" = None) -> Column:
+    """‖vec‖ — same unrolled-when-dim-known contract as ``dot``."""
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    expr = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.try_element_at(a, F.lit(i)).cast("double")
+        expr = expr + x * x
+    return F.sqrt(expr)
+
+
+def cosine(a: Column, b: Column, dim: "int | None" = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -51,28 +75,30 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    dim: "int | None" = None,
 ) -> DataFrame:
     """Exact brute-force top-k by cosine.  The query side is broadcast —
     corpus is scanned once, never shuffled until the (tiny) top-k window.
     Output: (query_id, neighbor_id, cosine, rank).
 
     Norms are aliased in their own projection so each side's ‖v‖ is folded
-    ONCE per row, not once per (query, corpus) pair — higher-order array
-    folds are interpreted (outside codegen), so eliminating redundant folds
-    is the whole ballgame.  Values are bit-identical (same fold order)."""
+    ONCE per row, not once per (query, corpus) pair.  Pass ``dim`` so the
+    dot/norm chains unroll into whole-stage codegen (see ``dot``); values
+    are bit-identical either way (same fold order)."""
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-        ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
+        ).select("query_id", "_qv", norm(F.col("_qv"), dim).alias("_qn"))
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    ).select("neighbor_id", "_cv", norm(F.col("_cv")).alias("_cn"))
+    ).select("neighbor_id", "_cv", norm(F.col("_cv"), dim).alias("_cn"))
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn")),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -101,11 +127,15 @@ def _lit_json(value, ddl: str) -> Column:
     return F.from_json(F.lit(json.dumps(value)), ddl)
 
 
-def hyperplane_signature(vec: Column, dim: int, num_planes: int = 12, seed: int = 42) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, num_planes: int = 12, seed: int = 42
+) -> Column:
     """Random-hyperplane (SRP) signature: bit i = sign(vec · plane_i).
-    Returns a bigint bucket key.  The plane matrix ships as one folded
-    constant; per-plane bits are summed with the same left-fold arithmetic
-    as the previous unrolled form (identical values)."""
+    Returns a bigint bucket key.  Ad-hoc Column form (interpreted HOF) —
+    the banded hot paths use ``srp_band_signatures`` (one vectorized Arrow
+    batch per task, bit-identical values) instead: a num_planes×dim flat
+    native expression blows janino's 64 KB method limit and falls back to
+    interpreted eval of the giant tree, the worst of both worlds."""
     planes = _hyperplanes(dim, num_planes, seed)
     planes_lit = _lit_json(planes, "array<array<double>>")
     zero = F.lit(0).cast("bigint")
@@ -119,6 +149,63 @@ def hyperplane_signature(vec: Column, dim: int, num_planes: int = 12, seed: int 
         ).otherwise(zero),
     )
     return F.aggregate(bits, zero, lambda acc, x: acc + x)
+
+
+def srp_band_signatures(
+    vec: Column,
+    dim: int,
+    num_planes: int,
+    bands: int,
+    seed: int,
+    seed_stride: int,
+) -> Column:
+    """All ``bands`` SRP signatures in ONE vectorized pandas UDF:
+    array<bigint> of band fingerprints (band b seeded seed + stride·b).
+
+    This is the Arrow path the north rule prescribes for math the built-in
+    operators can't express efficiently: a flat unrolled expression of
+    bands×num_planes×dim terms exceeds janino's 64 KB method limit (whole-
+    stage codegen disabled → interpreted tree walk, measured 15 s for 6k
+    rows), while interpreted HOF lambdas cost ~300 µs/row at crawl scale.
+    Here each Arrow batch does bands×dim vectorized fused multiply-adds.
+
+    Bit-exactness with the SQL/HOF forms (and the DuckDB oracles): the
+    accumulator is float64, starts at 0.0, and adds the j-th component term
+    for ALL planes at step j — the identical left-fold summation order per
+    (row, plane) — and float32 components widen to float64 exactly as
+    Spark's cast does.  Degenerate rows (NULL or non-``dim``-length
+    vectors) fingerprint to 0, matching the NULL-propagated HOF fold
+    (NULL dot ⇒ every WHEN false ⇒ all bits 0).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = [
+        np.array(_hyperplanes(dim, num_planes, seed + seed_stride * b)).astype(
+            np.float64
+        )
+        for b in range(bands)
+    ]
+    weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))[None, :]
+
+    @pandas_udf("array<bigint>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        n = len(v)
+        out = np.zeros((n, bands), dtype=np.int64)
+        ok = np.array(
+            [x is not None and len(x) == dim for x in v], dtype=bool
+        )
+        if ok.any():
+            X = np.stack(v[ok].to_numpy()).astype(np.float64)
+            for b, P in enumerate(planes):
+                acc = np.zeros((X.shape[0], num_planes), dtype=np.float64)
+                for j in range(dim):
+                    acc += X[:, j][:, None] * P[:, j][None, :]
+                out[ok, b] = ((acc >= 0.0).astype(np.int64) * weights).sum(
+                    axis=1
+                )
+        return pd.Series(list(out))
+
+    return _sigs(vec)
 
 
 def lsh_topk(
@@ -157,29 +244,14 @@ def lsh_topk(
         ).select(
             id_out,
             "_v",
-            norm(F.col("_v")).alias("_n"),
-            *[
-                hyperplane_signature(
-                    F.col("_v"), dim, num_planes, seed + EMBED_BAND_SEED_STRIDE * b
-                ).alias(f"_sig{b}")
-                for b in range(bands)
-            ],
+            norm(F.col("_v"), dim).alias("_n"),
+            srp_band_signatures(
+                F.col("_v"), dim, num_planes, bands, seed, EMBED_BAND_SEED_STRIDE
+            ).alias("_sigs"),
         )
         return sigged.select(
-            id_out,
-            "_v",
-            "_n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"_sig{b}").alias("bucket")
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("_e"),
-        ).select(id_out, "_v", "_n", "_e.band", "_e.bucket")
+            id_out, "_v", "_n", F.posexplode("_sigs").alias("band", "bucket")
+        )
 
     c = _banded(corpus, corpus_id, corpus_vec, "neighbor_id")
     q = F.broadcast(_banded(queries, query_id, query_vec, "query_id"))
@@ -201,7 +273,7 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n")), 6
+            dot(F.col("_qv"), F.col("_v"), dim) / (F.col("_qn") * F.col("_n")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -260,70 +332,81 @@ def ivf_topk(
 
     # centroid norms folded ONCE at plan-build time (Python left fold from 0 =
     # the exact summation order of norm()'s aggregate, so values are
-    # bit-identical to computing them per row); the whole centroid table ships
-    # as ONE folded constant (see _lit_json)
-    cents_lit = _lit_json(
-        [
-            {
-                "v": [float(x) for x in cent],
-                "n": math.sqrt(sum(float(x) * float(x) for x in cent)),
-                "cid": i,
-            }
-            for i, cent in enumerate(centroids)
-        ],
-        "array<struct<v:array<double>,n:double,cid:int>>",
-    )
+    # bit-identical to computing them per row)
+    cent_vecs = [[float(x) for x in cent] for cent in centroids]
+    cent_norms = [
+        math.sqrt(sum(float(x) * float(x) for x in cent)) for cent in centroids
+    ]
+    dim = len(centroids[0])
 
-    def dist_structs(vec: Column, norm_col: Column) -> Column:
-        # array<struct<d,cid>> — struct ordering = (distance asc, cid asc),
-        # exactly the old window's tie-break.  Higher-order folds run
-        # interpreted, so the row norm is aliased (folded once) and the
-        # centroid norms are precomputed: n_centroids dot products per row,
-        # not 3×n_centroids folds.
-        return F.transform(
-            cents_lit,
-            lambda s: F.struct(
-                (1 - dot(vec, s["v"]) / (norm_col * s["n"])).alias("d"),
-                s["cid"].alias("cid"),
-            ),
-        )
+    # Centroid distances run as vectorized Arrow-batch UDFs (one matrix
+    # sweep per batch): a flat n_centroids×dim native expression exceeds
+    # janino's 64 KB method limit (codegen falls back to interpreting the
+    # giant tree), and transform-over-centroids is interpreted outright.
+    # Bit-exactness: float64 accumulators add the j-th component term for
+    # all centroids at step j — the identical left fold as dot()/norm() —
+    # so distances, argmin assignment (ties → smallest cid, same as the
+    # (d asc, cid asc) struct ordering) and probe sets match the native
+    # forms exactly.  Degenerate rows (NULL / wrong-length vectors) get a
+    # NULL assignment and drop out of the join, like a NULL join key.
+    from pyspark.sql.functions import pandas_udf
+
+    C_T = np.array(cent_vecs, dtype=np.float64)  # (m, dim)
+    CN = np.array(cent_norms, dtype=np.float64)
+
+    def _distances(v: "pd.Series"):
+        ok = np.array([x is not None and len(x) == dim for x in v], dtype=bool)
+        if not ok.any():
+            return ok, None
+        X = np.stack(v[ok].to_numpy()).astype(np.float64)
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        D = np.zeros((X.shape[0], len(C_T)), dtype=np.float64)
+        for j in range(dim):
+            x = X[:, j]
+            acc += x * x
+            D += x[:, None] * C_T[:, j][None, :]
+        d = 1.0 - D / (np.sqrt(acc)[:, None] * CN[None, :])
+        return ok, d
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        ok, d = _distances(v)
+        out = pd.Series(np.zeros(len(v), dtype=np.int64), dtype="Int64")
+        out[~ok] = pd.NA
+        if d is not None:
+            out[ok] = np.argmin(d, axis=1)
+        return out
+
+    @pandas_udf("array<int>")
+    def _probe_cids(v: pd.Series) -> pd.Series:
+        ok, d = _distances(v)
+        out = pd.Series([None] * len(v), dtype=object)
+        if d is not None:
+            idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            out[ok] = pd.Series(
+                [row for row in idx.astype(np.int32)], index=out.index[ok]
+            )
+        return out
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    ).select("neighbor_id", "_cv", norm(F.col("_cv")).alias("_cn"))
-    assigned = (
-        c.select(
-            "neighbor_id",
-            "_cv",
-            "_cn",
-            dist_structs(F.col("_cv"), F.col("_cn")).alias("_dc"),
-        )
-        .select(
-            "neighbor_id",
-            "_cv",
-            "_cn",
-            F.array_min("_dc")["cid"].alias("centroid_id"),
-        )
+    ).select("neighbor_id", "_cv", norm(F.col("_cv"), dim).alias("_cn"))
+    assigned = c.select(
+        "neighbor_id",
+        "_cv",
+        "_cn",
+        _assign(F.col("_cv")).alias("centroid_id"),
     )
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-    ).select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"))
+    ).select("query_id", "_qv", norm(F.col("_qv"), dim).alias("_qn"))
     probes = F.broadcast(
         q.select(
             "query_id",
             "_qv",
             "_qn",
-            F.slice(
-                F.array_sort(dist_structs(F.col("_qv"), F.col("_qn"))), 1, nprobe
-            ).alias("_probe"),
-        ).select(
-            "query_id",
-            "_qv",
-            "_qn",
-            F.explode(F.transform(F.col("_probe"), lambda s: s["cid"])).alias(
-                "centroid_id"
-            ),
+            F.explode(_probe_cids(F.col("_qv"))).alias("centroid_id"),
         )
     )
 
@@ -334,7 +417,8 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn")),
+            6,
         ).alias("cosine"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
