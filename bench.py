@@ -51,6 +51,7 @@ HEADLINE = [
     "minhash_near_dups_fast",
     "simhash_near_dups_fast",
     "cosine_topk",
+    "lsh_topk",
     "ivf_topk",
     "embedding_near_dups",
     "dup_ngrams",

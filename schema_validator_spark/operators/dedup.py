@@ -671,28 +671,26 @@ def embedding_near_duplicates(
     1 − (1 − 0.955⁸)⁴ ≈ 0.99.  Every candidate is exactly verified, so
     banding only adds recall, never false positives.
     """
-    from .similarity import dot, norm, srp_band_signatures
+    from .similarity import arrow_dot, srp_band_signatures
 
     if dim is None:
         dim = dim_hint(df, vec_col)
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    # norm folded once per doc (dim-unrolled → whole-stage codegen; value
-    # identical, same summation order); all band signatures in ONE
-    # vectorized Arrow batch per task (see srp_band_signatures)
+    # band signatures + row norm in ONE vectorized Arrow batch per task
+    # (see srp_band_signatures) — the vectors cross the Arrow boundary once
     sigged = v.select(
         "_id",
         "_v",
-        norm(F.col("_v"), dim).alias("_n"),
         srp_band_signatures(
             F.col("_v"), dim, num_planes, bands, seed, EMBED_BAND_SEED_STRIDE
-        ).alias("_sigs"),
+        ).alias("_sn"),
     )
     # ids-only through the band-amplified self-join (the vectors+norms are
     # ~520 B/row; carrying them through bands× both sides dwarfs the ids —
     # same candidates-then-verify split as minhash_lsh_candidates), then the
     # few surviving pairs join the vectors back for exact verification.
     entries = sigged.select(
-        "_id", F.posexplode("_sigs").alias("band", "bucket")
+        "_id", F.posexplode("_sn.sigs").alias("band", "bucket")
     )
     cand = (
         entries.alias("l")
@@ -705,7 +703,7 @@ def embedding_near_duplicates(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vn = sigged.select("_id", "_v", "_n")
+    vn = sigged.select("_id", "_v", F.col("_sn.nrm").alias("_n"))
     pairs = (
         cand.join(
             vn.select(
@@ -727,7 +725,7 @@ def embedding_near_duplicates(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb"), dim)
+                arrow_dot(F.col("_va"), F.col("_vb"), dim)
                 / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("cosine"),

@@ -82,22 +82,27 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank).
 
     Norms are aliased in their own projection so each side's ‖v‖ is folded
-    ONCE per row, not once per (query, corpus) pair.  Pass ``dim`` so the
-    dot/norm chains unroll into whole-stage codegen (see ``dot``); values
-    are bit-identical either way (same fold order)."""
+    ONCE per row, not once per (query, corpus) pair.  With ``dim`` known,
+    norms and the pair dot run as vectorized Arrow-batch UDFs
+    (``arrow_dot``/``arrow_norm`` — bit-identical values, same fold
+    order); without it they fall back to interpreted HOF folds."""
+    _norm = (lambda v: arrow_norm(v, dim)) if dim is not None else norm
+    _dot = (
+        (lambda a, b: arrow_dot(a, b, dim)) if dim is not None else dot
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-        ).select("query_id", "_qv", norm(F.col("_qv"), dim).alias("_qn"))
+        ).select("query_id", "_qv", _norm(F.col("_qv")).alias("_qn"))
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    ).select("neighbor_id", "_cv", norm(F.col("_cv"), dim).alias("_cn"))
+    ).select("neighbor_id", "_cv", _norm(F.col("_cv")).alias("_cn"))
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn")),
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
             6,
         ).alias("cosine"),
     )
@@ -159,8 +164,10 @@ def srp_band_signatures(
     seed: int,
     seed_stride: int,
 ) -> Column:
-    """All ``bands`` SRP signatures in ONE vectorized pandas UDF:
-    array<bigint> of band fingerprints (band b seeded seed + stride·b).
+    """All ``bands`` SRP signatures AND the row norm in ONE vectorized
+    pandas UDF: struct<sigs: array<bigint>, nrm: double> (band b seeded
+    seed + stride·b) — the vectors cross the Arrow boundary once and every
+    per-component pass over them happens in the same batch.
 
     This is the Arrow path the north rule prescribes for math the built-in
     operators can't express efficiently: a flat unrolled expression of
@@ -187,15 +194,22 @@ def srp_band_signatures(
     ]
     weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))[None, :]
 
-    @pandas_udf("array<bigint>")
-    def _sigs(v: pd.Series) -> pd.Series:
+    @pandas_udf("sigs array<bigint>, nrm double")
+    def _sigs(v: pd.Series) -> pd.DataFrame:
         n = len(v)
         out = np.zeros((n, bands), dtype=np.int64)
+        nrm = pd.array(np.zeros(n), dtype="Float64")
         ok = np.array(
             [x is not None and len(x) == dim for x in v], dtype=bool
         )
+        nrm[~ok] = pd.NA
         if ok.any():
             X = np.stack(v[ok].to_numpy()).astype(np.float64)
+            acc_n = np.zeros(X.shape[0], dtype=np.float64)
+            for j in range(dim):
+                x = X[:, j]
+                acc_n += x * x
+            nrm[ok] = np.sqrt(acc_n)
             for b, P in enumerate(planes):
                 acc = np.zeros((X.shape[0], num_planes), dtype=np.float64)
                 for j in range(dim):
@@ -203,9 +217,66 @@ def srp_band_signatures(
                 out[ok, b] = ((acc >= 0.0).astype(np.int64) * weights).sum(
                     axis=1
                 )
-        return pd.Series(list(out))
+        return pd.DataFrame({"sigs": pd.Series(list(out)), "nrm": nrm})
 
     return _sigs(vec)
+
+
+def arrow_dot(a: Column, b: Column, dim: int) -> Column:
+    """Pairwise vec·vec as a vectorized Arrow-batch UDF — the scoring/verify
+    dot on candidate pairs.  Bit-identical to the HOF fold: float64
+    accumulator adds component j for the whole batch at step j (same left
+    fold); degenerate inputs (NULL / wrong-length) yield NULL like a
+    NULL-propagated fold.  Chosen over a flat native chain because the
+    unrolled trees cost ~1-2 s of driver analysis/codegen per query and
+    risk janino's 64 KB method limit inside join stages."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        n = len(va)
+        ok = np.array(
+            [
+                x is not None and y is not None and len(x) == dim and len(y) == dim
+                for x, y in zip(va, vb)
+            ],
+            dtype=bool,
+        )
+        out = pd.array(np.zeros(n), dtype="Float64")
+        out[~ok] = pd.NA
+        if ok.any():
+            A = np.stack(va[ok].to_numpy()).astype(np.float64)
+            B = np.stack(vb[ok].to_numpy()).astype(np.float64)
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for j in range(dim):
+                acc += A[:, j] * B[:, j]
+            out[ok] = acc
+        return pd.Series(out)
+
+    return _dot(a, b)
+
+
+def arrow_norm(vec: Column, dim: int) -> Column:
+    """‖vec‖ as a vectorized Arrow-batch UDF — same contract/parity notes as
+    ``arrow_dot``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _norm(v: pd.Series) -> pd.Series:
+        n = len(v)
+        ok = np.array([x is not None and len(x) == dim for x in v], dtype=bool)
+        out = pd.array(np.zeros(n), dtype="Float64")
+        out[~ok] = pd.NA
+        if ok.any():
+            X = np.stack(v[ok].to_numpy()).astype(np.float64)
+            acc = np.zeros(X.shape[0], dtype=np.float64)
+            for j in range(dim):
+                x = X[:, j]
+                acc += x * x
+            out[ok] = np.sqrt(acc)
+        return pd.Series(out)
+
+    return _norm(vec)
 
 
 def lsh_topk(
@@ -244,13 +315,15 @@ def lsh_topk(
         ).select(
             id_out,
             "_v",
-            norm(F.col("_v"), dim).alias("_n"),
             srp_band_signatures(
                 F.col("_v"), dim, num_planes, bands, seed, EMBED_BAND_SEED_STRIDE
-            ).alias("_sigs"),
+            ).alias("_sn"),
         )
         return sigged.select(
-            id_out, "_v", "_n", F.posexplode("_sigs").alias("band", "bucket")
+            id_out,
+            "_v",
+            F.col("_sn.nrm").alias("_n"),
+            F.posexplode("_sn.sigs").alias("band", "bucket"),
         )
 
     c = _banded(corpus, corpus_id, corpus_vec, "neighbor_id")
@@ -273,7 +346,9 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("_qv"), F.col("_v"), dim) / (F.col("_qn") * F.col("_n")), 6
+            arrow_dot(F.col("_qv"), F.col("_v"), dim)
+            / (F.col("_qn") * F.col("_n")),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -390,7 +465,7 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    ).select("neighbor_id", "_cv", norm(F.col("_cv"), dim).alias("_cn"))
+    ).select("neighbor_id", "_cv", arrow_norm(F.col("_cv"), dim).alias("_cn"))
     assigned = c.select(
         "neighbor_id",
         "_cv",
@@ -400,7 +475,7 @@ def ivf_topk(
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
-    ).select("query_id", "_qv", norm(F.col("_qv"), dim).alias("_qn"))
+    ).select("query_id", "_qv", arrow_norm(F.col("_qv"), dim).alias("_qn"))
     probes = F.broadcast(
         q.select(
             "query_id",
@@ -417,7 +492,8 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn")),
+            arrow_dot(F.col("_qv"), F.col("_cv"), dim)
+            / (F.col("_qn") * F.col("_cn")),
             6,
         ).alias("cosine"),
     )
