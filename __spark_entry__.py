@@ -38,6 +38,7 @@ from schema_validator_spark.operators import dedup as D
 from schema_validator_spark.operators import drift as DR
 from schema_validator_spark.operators import multimodal as MM
 from schema_validator_spark.operators import referential as R
+from schema_validator_spark.operators import safety as SF
 from schema_validator_spark.operators import sampling as SAMP
 from schema_validator_spark.operators import similarity as SIM
 from schema_validator_spark.operators import stats as ST
@@ -1285,6 +1286,53 @@ def q_frame_samples(spark, sf_dir):
     )
 
 
+def _pii_docs(spark, sf_dir):
+    """Documents with deterministic planted PII (email/IP/phone/long-id per
+    row, derived from doc_id) appended to a text prefix — the synthetic
+    substrate guarantees every redaction pattern fires; the oracle builds
+    the IDENTICAL string with the same DuckDB expressions."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    planted = F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" contact a"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10.1."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 id 99887766"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    return df.select("doc_id", planted.alias("text"))
+
+
+def q_redact_pii(spark, sf_dir):
+    out = SF.redact_pii(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ip").cast("bigint").alias("n_ip"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_id").cast("bigint").alias("n_id"),
+        "redacted",
+    )
+
+
+def q_contaminated_docs(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a word 3-gram with the
+    deterministic benchmark subset (doc_id % 97 == 0).  Benchmark grams are
+    broadcast; the only shuffle is the per-doc hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = SF.contaminated_docs(docs, bench, "doc_id", n_gram=3)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "contaminated_frac",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-gate priority: the driver checks the
     FIRST 50 entries per round (observed: CORRECTNESS_r03 rows == the first
@@ -1302,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- tier 1: touched in round 4 -------------------------------
+        "redact_pii": q_redact_pii,
+        "contaminated_docs": q_contaminated_docs,
         "asof_join": q_asof_join,
         "asof_join_sliced": q_asof_join_sliced,
         "range_join": q_range_join,
@@ -1608,7 +1658,50 @@ def oracle_sql() -> dict[str, str]:
     srp_bands_c = [_srp_sig_sql("cv", 64, 8, 42 + 1000 * b) for b in range(4)]
     srp_bands_q = [_srp_sig_sql("qv", 64, 8, 42 + 1000 * b) for b in range(4)]
     h60 = _md5_60bit_sql("g")
+    # PII redaction: the SAME pattern list drives both engines (safety.py);
+    # DuckDB needs the explicit 'g' flag for replace-all.
+    pii_docs_sql = """
+  SELECT doc_id,
+    substring(text, 1, 80) || ' contact a' || CAST(doc_id AS VARCHAR)
+      || '@ex.com ip 10.1.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      || '-1234 id 99887766' || CAST(doc_id % 10 AS VARCHAR) AS text
+  FROM documents WHERE text IS NOT NULL
+"""
+    pii_counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in SF.PII_PATTERNS
+    )
+    pii_redacted = "text"
+    for _, pat, token in SF.PII_PATTERNS:
+        pii_redacted = f"regexp_replace({pii_redacted}, '{pat}', '{token}', 'g')"
     return {
+        "redact_pii": f"""
+WITH d AS ({pii_docs_sql})
+SELECT doc_id,
+  {pii_counts},
+  {pii_redacted} AS redacted
+FROM d
+""",
+        "contaminated_docs": f"""
+WITH base AS (SELECT doc_id AS _id, text FROM documents WHERE text IS NOT NULL),
+norm AS (SELECT _id, {_NORM_TEXT} AS t FROM base),
+words AS (SELECT _id, t, string_split(t, ' ') AS ws FROM norm WHERE t <> ''),
+sh AS (
+  SELECT _id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)])
+      ELSE [t] END AS sh
+  FROM words
+),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE _id % 97 = 0),
+ex AS (SELECT _id, len(sh) AS n, unnest(sh) AS g FROM sh)
+SELECT _id AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_contaminated,
+  CAST(max(n) AS BIGINT) AS n_grams,
+  round(count(*) / max(n)::DOUBLE, 6) AS contaminated_frac
+FROM ex JOIN bench USING (g) GROUP BY _id
+""",
         "validate_flagship": f"""
 WITH v AS ({_FLAGSHIP_VIOL_SQL})
 SELECT doc_id,

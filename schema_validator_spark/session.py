@@ -56,7 +56,10 @@ def get_spark(
         # the same setting, just thousands instead of hundreds.)
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * shuffle_partitions),
+            str(
+                int(os.environ.get("SPARK_GRAFT_AQE_INITIAL_FACTOR", "8"))
+                * shuffle_partitions
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
