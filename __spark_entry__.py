@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import schema_validator_spark as sv
+from schema_validator_spark.operators import cleaning as CL
 from schema_validator_spark.operators import dedup as D
 from schema_validator_spark.operators import drift as DR
 from schema_validator_spark.operators import multimodal as MM
@@ -1333,6 +1334,78 @@ def q_contaminated_docs(spark, sf_dir):
     )
 
 
+def _webtext_docs(spark, sf_dir):
+    """Multi-line web-page-like substrate built deterministically from the
+    documents table: a long first sentence, a too-short line, conditional
+    lorem-ipsum / bullet / ellipsis lines, a boilerplate line shared by
+    EVERY doc, and one unique closing line per doc.  The oracle builds the
+    IDENTICAL string (concat_ws skips the NULL conditional parts in both
+    engines), so every cleaning rule fires on known rows."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    parts = [
+        F.concat(F.substring("text", 1, 120), F.lit(".")),
+        F.lit("short one."),
+        F.when(
+            did % 3 == 0,
+            F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit today."),
+        ),
+        F.when(
+            did % 4 == 0,
+            F.lit("- bullet point with several more words to count here."),
+        ),
+        F.lit("Subscribe to our newsletter for the very latest updates today."),
+        F.concat(
+            F.lit("unique closing line for document "),
+            did.cast("string"),
+            F.lit(" right here now ok."),
+        ),
+        F.when(did % 5 == 0, F.lit("this trails off into nothing...")),
+    ]
+    return df.select("doc_id", F.concat_ws("\n", *parts).alias("text"))
+
+
+def q_clean_lines(spark, sf_dir):
+    out = CL.clean_lines(_webtext_docs(spark, sf_dir), "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "kept",
+        "cleaned",
+    )
+
+
+def q_frequent_line_removal(spark, sf_dir):
+    out = CL.remove_frequent_lines(_webtext_docs(spark, sf_dir), "doc_id", min_df=100)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        "cleaned",
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    out = CL.gopher_quality(_webtext_docs(spark, sf_dir), "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("word_count").cast("bigint").alias("word_count"),
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_ratio",
+        "r_ellipsis_ratio",
+        "r_stop_hits",
+        "gopher_pass",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-gate priority: the driver checks the
     FIRST 50 entries per round (observed: CORRECTNESS_r03 rows == the first
@@ -1350,6 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- tier 1: touched in round 4 -------------------------------
+        "clean_lines": q_clean_lines,
+        "frequent_line_removal": q_frequent_line_removal,
+        "gopher_quality": q_gopher_quality,
         "redact_pii": q_redact_pii,
         "contaminated_docs": q_contaminated_docs,
         "asof_join": q_asof_join,
@@ -1675,7 +1751,106 @@ def oracle_sql() -> dict[str, str]:
     pii_redacted = "text"
     for _, pat, token in SF.PII_PATTERNS:
         pii_redacted = f"regexp_replace({pii_redacted}, '{pat}', '{token}', 'g')"
+    # webtext substrate: IDENTICAL string to _webtext_docs (concat_ws skips
+    # the NULL CASE branches in both engines)
+    webtext_sql = """
+  SELECT doc_id, concat_ws(chr(10),
+    substring(text, 1, 120) || '.',
+    'short one.',
+    CASE WHEN doc_id % 3 = 0
+      THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit today.' END,
+    CASE WHEN doc_id % 4 = 0
+      THEN '- bullet point with several more words to count here.' END,
+    'Subscribe to our newsletter for the very latest updates today.',
+    'unique closing line for document ' || CAST(doc_id AS VARCHAR)
+      || ' right here now ok.',
+    CASE WHEN doc_id % 5 = 0 THEN 'this trails off into nothing...' END
+  ) AS text
+  FROM documents WHERE text IS NOT NULL
+"""
+    # per-word-count / per-ratio building blocks shared by the gopher oracle;
+    # division order and rounding mirror cleaning.gopher_quality exactly
+    g_wc = "len(regexp_extract_all(text, '[A-Za-z]+'))"
+    g_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    g_nl = "(len(regexp_extract_all(text, chr(10))) + 1)"
+    g_bul = "len(regexp_extract_all(text, '(^|\\n) *[-*] '))"
+    g_ell = "len(regexp_extract_all(text || chr(10), '\\.\\.\\.\\n'))"
+    g_sym = "len(regexp_extract_all(text, '#|\\.\\.\\.'))"
     return {
+        "clean_lines": f"""
+WITH d AS ({webtext_sql}),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+k AS (
+  SELECT doc_id, l,
+    list_filter(l, ln ->
+      regexp_matches(rtrim(ln), '[.!?]$')
+      AND len(regexp_extract_all(ln, '[A-Za-z]+')) >= 5
+      AND NOT contains(lower(ln), 'lorem ipsum')
+      AND NOT contains(lower(ln), 'javascript')
+      AND NOT contains(ln, '{{')) AS surv
+  FROM sp
+)
+SELECT doc_id,
+  CAST(len(l) AS BIGINT) AS n_lines,
+  CAST(len(surv) AS BIGINT) AS n_kept,
+  len(surv) >= 3 AS kept,
+  coalesce(array_to_string(surv, chr(10)), '') AS cleaned
+FROM k
+""",
+        "frequent_line_removal": f"""
+WITH d AS ({webtext_sql}),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+ex AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos FROM sp),
+lines AS (
+  SELECT doc_id, pos, trim(l[pos]) AS ln FROM ex WHERE trim(l[pos]) <> ''
+),
+freq AS (SELECT ln FROM lines GROUP BY ln HAVING count(DISTINCT doc_id) >= 100),
+kept AS (SELECT doc_id, pos, ln FROM lines
+         WHERE ln NOT IN (SELECT ln FROM freq)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(ln, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+  t.n_lines - coalesce(a.n_kept, 0) AS n_removed,
+  coalesce(a.cleaned, '') AS cleaned
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        "gopher_quality": f"""
+WITH d AS ({webtext_sql}),
+f AS (
+  SELECT doc_id,
+    {g_wc} AS wc, {g_alpha} AS alpha_chars, {g_nl} AS n_lines,
+    {g_bul} AS bullets, {g_ell} AS ellipsis, {g_sym} AS symbols,
+    {_stopword_sql('text', 'en')} AS stop_hits
+  FROM d
+)
+SELECT doc_id,
+  CAST(wc AS BIGINT) AS word_count,
+  round(alpha_chars / greatest(wc, 1)::DOUBLE, 6) AS mean_word_len,
+  round(symbols / greatest(wc, 1)::DOUBLE, 6) AS symbol_ratio,
+  round(bullets / n_lines::DOUBLE, 6) AS bullet_ratio,
+  round(ellipsis / n_lines::DOUBLE, 6) AS ellipsis_ratio,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  (wc >= 50 AND wc <= 100000) AS r_word_count,
+  (alpha_chars / greatest(wc, 1)::DOUBLE >= 3.0
+    AND alpha_chars / greatest(wc, 1)::DOUBLE <= 10.0) AS r_mean_word_len,
+  (symbols / greatest(wc, 1)::DOUBLE < 0.1) AS r_symbol_ratio,
+  (bullets / n_lines::DOUBLE < 0.9) AS r_bullet_ratio,
+  (ellipsis / n_lines::DOUBLE < 0.3) AS r_ellipsis_ratio,
+  (stop_hits >= 2) AS r_stop_hits,
+  (wc >= 50 AND wc <= 100000
+    AND alpha_chars / greatest(wc, 1)::DOUBLE >= 3.0
+    AND alpha_chars / greatest(wc, 1)::DOUBLE <= 10.0
+    AND symbols / greatest(wc, 1)::DOUBLE < 0.1
+    AND bullets / n_lines::DOUBLE < 0.9
+    AND ellipsis / n_lines::DOUBLE < 0.3
+    AND stop_hits >= 2) AS gopher_pass
+FROM f
+""",
         "redact_pii": f"""
 WITH d AS ({pii_docs_sql})
 SELECT doc_id,

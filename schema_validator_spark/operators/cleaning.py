@@ -1,0 +1,238 @@
+"""Web-text cleaning operators: C4-style line filtering, corpus-frequency
+line removal, and Gopher-style document quality gates.
+
+Three first-class steps of an LLM training-data pipeline that sit between
+html→text extraction and dedup (public recipes: C4 / Raffel et al. 2020,
+CCNet / Wenzek et al. 2020, Gopher / Rae et al. 2021; no reference-repo
+counterpart — this is pipeline surface, like textquality.py):
+
+- **clean_lines** — per-document line filtering (terminal punctuation,
+  minimum words, phrase/brace blocklist).  Embarrassingly parallel: ONE
+  zero-shuffle projection.
+- **remove_frequent_lines** — drop lines that occur in ≥ ``min_df``
+  distinct documents (boilerplate: nav bars, cookie banners, footers).
+  The only corpus-wide state is the frequent-line set, which is tiny by
+  construction (only boilerplate crosses the threshold) and is broadcast.
+- **gopher_quality** — document-level quality rules (word count, mean word
+  length, symbol/bullet/ellipsis ratios, stopword floor) as one native
+  projection with per-rule verdict columns.
+
+All native Column pipelines from dialect-portable primitives so each has an
+exact DuckDB oracle.  HOF note (CLAUDE.md): the line lambdas here reference
+ONLY the pre-materialized ``_lines`` array (split once per doc in its own
+projection) — the per-line regexes are the actual work, not re-evaluated
+free subexpressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textquality import STOPWORDS, _stopword_hits
+
+#: C4's line blocklist idea, trimmed to portable literals: a line mentioning
+#: these (case-insensitively) is dropped, as is any line containing a curly
+#: brace (leaked code/templates).
+LINE_BLOCKLIST: tuple[str, ...] = ("lorem ipsum", "javascript")
+
+#: remove_frequent_lines: refuse to broadcast a frequent-line set larger
+#: than this — a threshold that flags millions of "boilerplate" lines means
+#: min_df is mis-set for the corpus, not that the engine should ship a
+#: multi-GB build side.
+FREQUENT_LINES_BROADCAST_MAX = 5_000_000
+
+
+def _keep_line(ln: Column, min_words: int, blocklist: tuple[str, ...]) -> Column:
+    """C4 keep-rule for one line: ends in terminal punctuation, has at least
+    ``min_words`` words, no blocklisted phrase, no curly brace."""
+    keep = F.regexp_count(F.rtrim(ln), F.lit(r"[.!?]$")) > 0
+    keep &= F.regexp_count(ln, F.lit(r"[A-Za-z]+")) >= min_words
+    low = F.lower(ln)
+    for phrase in blocklist:
+        keep &= ~low.contains(phrase)
+    keep &= ~ln.contains("{")
+    return keep
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+    blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+) -> DataFrame:
+    """C4-style line cleaning: (id, n_lines, n_kept, kept, cleaned).
+
+    ``cleaned`` is the surviving lines re-joined with ``\\n``; ``kept`` is
+    the document-level verdict (≥ ``min_lines`` surviving lines — C4 drops
+    pages with fewer than 3 surviving sentences).
+
+    100 TB shape: one whole-partition-parallel projection, zero shuffle,
+    partitioning preserved.  The line split and the filtered array are each
+    materialized in their OWN projection so neither is re-evaluated per
+    consumer (CLAUDE.md multi-reference rule).
+    """
+    lines = df.select(
+        id_col, F.split(F.col(text_col), "\n").alias("_lines")
+    )
+    kept = lines.select(
+        id_col,
+        "_lines",
+        F.filter(
+            "_lines", lambda ln: _keep_line(ln, min_words, blocklist)
+        ).alias("_kept"),
+    )
+    return kept.select(
+        id_col,
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        (F.size("_kept") >= min_lines).alias("kept"),
+        F.array_join("_kept", "\n").alias("cleaned"),
+    )
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _pos, _ln): trimmed non-empty lines with their position.  Empty
+    lines are not content — they neither count nor come back."""
+    return (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
+        )
+        .select(id_col, "_pos", F.trim("_raw").alias("_ln"))
+        .where(F.col("_ln") != "")
+    )
+
+
+def frequent_lines(
+    df: DataFrame, id_col: str, text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """(_ln, n_docs): lines occurring in ≥ ``min_df`` DISTINCT documents.
+
+    One aggregation over the exploded lines (map-side partials on the line
+    key); the output is only the boilerplate tail — small by construction.
+    """
+    return (
+        _doc_lines(df, id_col, text_col)
+        .groupBy("_ln")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_df: int = 2,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet/Dolma paragraph dedup):
+    (id, n_lines, n_removed, cleaned) with every line that appears in
+    ≥ ``min_df`` distinct documents dropped from every document.
+
+    100 TB shape: pass 1 aggregates line → distinct-doc counts (the one
+    line-keyed shuffle; partial aggregation applies) and keeps only the
+    frequent tail; pass 2 anti-joins the exploded lines against that small
+    set — broadcast by default, ``broadcast=False`` for a shuffle-hash
+    anti-join when the threshold is set low enough to flag a huge set —
+    then reassembles each document in one id-keyed shuffle.  Documents
+    whose every line was boilerplate come back with ``cleaned = ''`` (left
+    join from the input, not dropped).
+    """
+    lines = _doc_lines(df, id_col, text_col)
+    freq = frequent_lines(df, id_col, text_col, min_df).select("_ln")
+    if broadcast:
+        kept = lines.join(F.broadcast(freq), "_ln", "left_anti")
+    else:
+        kept = lines.join(freq.hint("SHUFFLE_HASH"), "_ln", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("_pos", "_ln"))).alias("_ord"),
+        )
+        .select(
+            id_col,
+            "n_kept",
+            F.array_join(
+                F.transform("_ord", lambda s: s["_ln"]), "\n"
+            ).alias("cleaned"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021) as one native
+    projection: measured features + one boolean per rule + ``gopher_pass``.
+
+    Mean word length avoids a per-word HOF: total alphabetic characters
+    (``length`` of the text with non-letters deleted) over the word count
+    is exactly sum(len(word))/n_words.  Line-anchored counts append a
+    sentinel ``\\n`` instead of using ``$``, whose end-of-line semantics
+    differ between Java regex and RE2 (Java's ``$`` also matches before a
+    final newline).  Zero shuffle; partitioning preserved.
+    """
+    t = F.col(text_col)
+    wc = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    wc_div = F.greatest(wc, F.lit(1)).cast("double")
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_wl = alpha_chars / wc_div
+    n_lines = (F.regexp_count(t, F.lit(r"\n")) + 1).cast("double")
+    bullets = F.regexp_count(t, F.lit(r"(^|\n) *[-*] "))
+    ellipsis = F.regexp_count(F.concat(t, F.lit("\n")), F.lit(r"\.\.\.\n"))
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    stop_hits = _stopword_hits(t, STOPWORDS["en"])
+
+    feats = {
+        "word_count": wc,
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_ratio": F.round(symbols / wc_div, 6),
+        "bullet_ratio": F.round(bullets / n_lines, 6),
+        "ellipsis_ratio": F.round(ellipsis / n_lines, 6),
+        "stop_hits": stop_hits,
+    }
+    rules = {
+        "r_word_count": (wc >= min_words) & (wc <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": (symbols / wc_div) < max_symbol_ratio,
+        "r_bullet_ratio": (bullets / n_lines) < max_bullet_ratio,
+        "r_ellipsis_ratio": (ellipsis / n_lines) < max_ellipsis_ratio,
+        "r_stop_hits": stop_hits >= min_stop_hits,
+    }
+    overall = None
+    for cond in rules.values():
+        overall = cond if overall is None else (overall & cond)
+    return df.select(
+        id_col,
+        *[c.alias(n) for n, c in feats.items()],
+        *[c.alias(n) for n, c in rules.items()],
+        overall.alias("gopher_pass"),
+    )
