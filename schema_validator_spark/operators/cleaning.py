@@ -133,45 +133,43 @@ def remove_frequent_lines(
     (id, n_lines, n_removed, cleaned) with every line that appears in
     ≥ ``min_df`` distinct documents dropped from every document.
 
-    100 TB shape: pass 1 aggregates line → distinct-doc counts (the one
-    line-keyed shuffle; partial aggregation applies) and keeps only the
-    frequent tail; pass 2 anti-joins the exploded lines against that small
-    set — broadcast by default, ``broadcast=False`` for a shuffle-hash
-    anti-join when the threshold is set low enough to flag a huge set —
-    then reassembles each document in one id-keyed shuffle.  Documents
-    whose every line was boilerplate come back with ``cleaned = ''`` (left
-    join from the input, not dropped).
+    100 TB shape: TWO corpus scans total.  Pass 1 aggregates line →
+    distinct-doc counts (the one line-keyed shuffle; partial aggregation
+    applies) and keeps only the frequent tail.  Pass 2 LEFT-joins the
+    exploded lines against that small set (broadcast by default,
+    ``broadcast=False`` for a shuffle-hash join when the threshold is set
+    low enough to flag a huge set) and computes totals, removed count, and
+    the order-preserving reassembly in ONE id-keyed aggregation —
+    ``collect_list`` skips the NULL entries the flag condition produces, so
+    no anti-join + second totals scan + re-join is needed.  A document
+    whose every line was boilerplate comes back with ``cleaned = ''``.
     """
     lines = _doc_lines(df, id_col, text_col)
-    freq = frequent_lines(df, id_col, text_col, min_df).select("_ln")
-    if broadcast:
-        kept = lines.join(F.broadcast(freq), "_ln", "left_anti")
-    else:
-        kept = lines.join(freq.hint("SHUFFLE_HASH"), "_ln", "left_anti")
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_sort(F.collect_list(F.struct("_pos", "_ln"))).alias("_ord"),
-        )
-        .select(
-            id_col,
-            "n_kept",
-            F.array_join(
-                F.transform("_ord", lambda s: s["_ln"]), "\n"
-            ).alias("cleaned"),
-        )
+    freq = frequent_lines(df, id_col, text_col, min_df).select(
+        "_ln", F.lit(True).alias("_freq")
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    if broadcast:
+        flagged = lines.join(F.broadcast(freq), "_ln", "left")
+    else:
+        flagged = lines.join(freq.hint("SHUFFLE_HASH"), "_ln", "left")
     return (
-        totals.join(rebuilt, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count("_freq").alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_freq").isNull(), F.struct("_pos", "_ln"))
+                )
+            ).alias("_ord"),
+        )
         .select(
             id_col,
             "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            "n_removed",
+            F.array_join(
+                F.transform("_ord", lambda s: s["_ln"]), "\n"
+            ).alias("cleaned"),
         )
     )
 
