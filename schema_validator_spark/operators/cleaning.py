@@ -196,17 +196,34 @@ def gopher_quality(
     sentinel ``\\n`` instead of using ``$``, whose end-of-line semantics
     differ between Java regex and RE2 (Java's ``$`` also matches before a
     final newline).  Zero shuffle; partitioning preserved.
+
+    The regexp scans are materialized ONCE in their own projection and the
+    ratios/rules reference the aliases: the word count alone feeds ~8
+    output columns, and inlined it is re-evaluated per consumer (measured
+    5x: 106 s → 20 s for 2.4M 1-KB docs) — CollapseProject keeps the split
+    for non-cheap multiply-referenced aliases (CLAUDE.md).
     """
     t = F.col(text_col)
-    wc = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    raw = df.select(
+        id_col,
+        F.regexp_count(t, F.lit(r"[A-Za-z]+")).alias("_wc"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("_alpha"),
+        (F.regexp_count(t, F.lit(r"\n")) + 1).cast("double").alias("_nl"),
+        F.regexp_count(t, F.lit(r"(^|\n) *[-*] ")).alias("_bul"),
+        F.regexp_count(F.concat(t, F.lit("\n")), F.lit(r"\.\.\.\n")).alias(
+            "_ell"
+        ),
+        F.regexp_count(t, F.lit(r"#|\.\.\.")).alias("_sym"),
+        _stopword_hits(t, STOPWORDS["en"]).alias("_stop"),
+    )
+    wc = F.col("_wc")
     wc_div = F.greatest(wc, F.lit(1)).cast("double")
-    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    mean_wl = alpha_chars / wc_div
-    n_lines = (F.regexp_count(t, F.lit(r"\n")) + 1).cast("double")
-    bullets = F.regexp_count(t, F.lit(r"(^|\n) *[-*] "))
-    ellipsis = F.regexp_count(F.concat(t, F.lit("\n")), F.lit(r"\.\.\.\n"))
-    symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
-    stop_hits = _stopword_hits(t, STOPWORDS["en"])
+    mean_wl = F.col("_alpha") / wc_div
+    n_lines = F.col("_nl")
+    bullets = F.col("_bul")
+    ellipsis = F.col("_ell")
+    symbols = F.col("_sym")
+    stop_hits = F.col("_stop")
 
     feats = {
         "word_count": wc,
@@ -228,7 +245,7 @@ def gopher_quality(
     overall = None
     for cond in rules.values():
         overall = cond if overall is None else (overall & cond)
-    return df.select(
+    return raw.select(
         id_col,
         *[c.alias(n) for n, c in feats.items()],
         *[c.alias(n) for n, c in rules.items()],
