@@ -1406,6 +1406,57 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Dolma-style first-occurrence paragraph dedup over the multi-line
+    webtext substrate (the frequent-line substrate reused: the boilerplate
+    line survives only in the minimum-(doc_id, pos) document)."""
+    out = CL.dedup_paragraphs(_webtext_docs(spark, sf_dir), "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        "cleaned",
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed uni+bigram linear scorer; integer md5 weights
+    so the per-doc sum is bit-identical in DuckDB."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return TQ.quality_classifier(df, "doc_id", seed="qc", threshold=0.0)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: whitespace token counts, 8 hash
+    streams, budget 500 — all-integer cumsum binning."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sized = df.select(
+        "doc_id",
+        TQ.token_count_whitespace(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    return SAMP.pack_sequences(sized, "doc_id", "n_tok", budget=500, n_streams=8)
+
+
+def q_shard_corpus(spark, sf_dir):
+    """Deterministic corpus shuffle into 8 training shards — md5 order is
+    the shuffle, so both engines reproduce the exact layout."""
+    df = _t(spark, sf_dir, "documents").select("doc_id")
+    out = SAMP.shard_corpus(df, "doc_id", n_shards=8)
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+def q_cap_per_key(spark, sf_dir):
+    """Skew-proof per-language cap (k=50, 4 salts) — exact rank in the
+    deterministic (salt, md5, id) order."""
+    df = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("lang").isNotNull())
+        .select("doc_id", "lang")
+    )
+    out = SAMP.cap_per_key(df, "lang", "doc_id", k=50, n_salts=4)
+    return out.select("lang", "doc_id", "key_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-gate priority: the driver checks the
     FIRST 50 entries per round (observed: CORRECTNESS_r03 rows == the first
@@ -1423,6 +1474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- tier 1: touched in round 4 -------------------------------
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "quality_classifier": q_quality_classifier,
+        "pack_sequences": q_pack_sequences,
+        "cap_per_key": q_cap_per_key,
+        "shard_corpus": q_shard_corpus,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -1818,6 +1874,109 @@ SELECT t.doc_id, t.n_lines,
   t.n_lines - coalesce(a.n_kept, 0) AS n_removed,
   coalesce(a.cleaned, '') AS cleaned
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        "dedup_paragraphs": f"""
+WITH d AS ({webtext_sql}),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+ex AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos FROM sp),
+lines AS (
+  SELECT doc_id, pos, trim(l[pos]) AS ln FROM ex WHERE trim(l[pos]) <> ''
+),
+sel AS (
+  SELECT doc_id, pos, ln,
+    row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+agg AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+    string_agg(CASE WHEN rn = 1 THEN ln END, chr(10) ORDER BY pos) AS cleaned
+  FROM sel GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_dropped, coalesce(cleaned, '') AS cleaned FROM agg
+""",
+        "quality_classifier": f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS ws
+  FROM d
+),
+f AS (
+  SELECT doc_id, list_concat(ws,
+    CASE WHEN len(ws) >= 2
+      THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]
+      ELSE []::VARCHAR[] END) AS fs
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(fs) AS g FROM f),
+wt AS (
+  SELECT doc_id, ({_md5_60bit_sql("'qc|' || g")} % 2001) - 1000 AS wv FROM ex
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+    CAST(sum(wv) AS BIGINT) AS raw_score
+  FROM wt GROUP BY doc_id
+),
+sc AS (
+  SELECT d.doc_id,
+    coalesce(a.n_features, 0) AS n_features,
+    coalesce(a.raw_score, 0) AS raw_score,
+    CASE WHEN coalesce(a.n_features, 0) = 0 THEN 0.0
+         ELSE round(a.raw_score / (1000.0 * a.n_features), 6) END AS score
+  FROM d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_features, raw_score, score, score >= 0.0 AS q_pass FROM sc
+""",
+        "pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+    ({_md5_24bit_sql("CAST(doc_id AS VARCHAR)")} % 8) AS stream
+  FROM d
+),
+c AS (
+  SELECT doc_id, stream, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY stream ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM h
+)
+SELECT doc_id, stream,
+  CAST(floor(prev / 500) AS BIGINT) AS seq_bin,
+  CAST(prev % 500 AS BIGINT) AS bin_offset,
+  n_tokens
+FROM c
+""",
+        "shard_corpus": f"""
+WITH h AS (
+  SELECT doc_id, {_md5_24bit_sql("CAST(doc_id AS VARCHAR)")} AS hh FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT)
+    AS shard_pos
+FROM h
+""",
+        "cap_per_key": f"""
+WITH d AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+h AS (
+  SELECT doc_id, lang, {_md5_24bit_sql("CAST(doc_id AS VARCHAR)")} AS hh FROM d
+),
+r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY hh % 4, hh, doc_id) AS key_rank
+  FROM h
+)
+SELECT lang, doc_id, CAST(key_rank AS BIGINT) AS key_rank
+FROM r WHERE key_rank <= 50
 """,
         "gopher_quality": f"""
 WITH d AS ({webtext_sql}),

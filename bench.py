@@ -58,6 +58,8 @@ HEADLINE = [
     "run_full",
     "web_pages_full_plan",
     "web_extract_text",
+    "web_gopher_quality",
+    "web_quality_classifier",
 ]
 
 
@@ -116,6 +118,25 @@ def main():
             F.sum(F.octet_length(extract_text(F.col("html")))).alias("bytes_out")
         )
 
+    def web_gopher(spark, sf_dir):
+        # Gopher quality gates over the 1M-row crawl text: regex-scan
+        # throughput of the cleaning family (aggregated so column pruning
+        # can't skip the projection)
+        from schema_validator_spark.operators import cleaning as CL
+
+        return CL.gopher_quality(web, "url").agg(
+            F.sum(F.col("gopher_pass").cast("long")), F.sum("word_count")
+        )
+
+    def web_quality_cls(spark, sf_dir):
+        # hashed uni+bigram classifier over the 1M-row crawl text:
+        # explode → native md5 → map-side-combined agg throughput
+        from schema_validator_spark.operators import textquality as TQ
+
+        return TQ.quality_classifier(web, "url").agg(
+            F.sum("raw_score"), F.sum("n_features")
+        )
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
@@ -127,6 +148,10 @@ def main():
             fn = web_full
         elif name == "web_extract_text":
             fn = web_extract
+        elif name == "web_gopher_quality":
+            fn = web_gopher
+        elif name == "web_quality_classifier":
+            fn = web_quality_cls
         else:
             fn = qs[name]
         # one untimed warm-up run: excludes one-time plan codegen/JIT from the

@@ -174,6 +174,55 @@ def remove_frequent_lines(
     )
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Corpus-wide FIRST-OCCURRENCE paragraph dedup (Dolma's exact paragraph
+    dedup): every line keeps only its first occurrence across the whole
+    corpus — the occurrence with the smallest ``(doc_id, position)`` — and
+    every later occurrence (other docs AND repeats inside the same doc) is
+    dropped.  Complements ``remove_frequent_lines``, which removes frequent
+    lines from EVERY document including the first.
+    Output: (id, n_lines, n_dropped, cleaned); empty lines neither count
+    nor come back (``_doc_lines``).
+
+    100 TB shape: winners come from ONE line-keyed aggregation —
+    ``min(struct(id, pos))`` combines map-side, so a boilerplate line in
+    every doc reduces to one row per input partition before the shuffle.
+    The exploded lines then equi-join the winner table on the line key (a
+    1:1 shuffle join, no amplification; a hot line's join rows split under
+    AQE skew-join) and reassemble in one id-keyed aggregation, exactly the
+    ``remove_frequent_lines`` pattern.  No window over the raw lines: a
+    plain ``row_number() over (partition by line)`` would sort each hot
+    line's millions of rows on one reducer, while the agg+join never
+    materializes a per-line group."""
+    lines = _doc_lines(df, id_col, text_col)
+    winners = lines.groupBy("_ln").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_w")
+    )
+    flagged = lines.join(winners, "_ln").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_w")[id_col])
+        & (F.col("_pos") == F.col("_w")["_pos"]),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_keep"), F.struct("_pos", "_ln")))
+            ).alias("_ord"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_dropped",
+            F.array_join(
+                F.transform("_ord", lambda s: s["_ln"]), "\n"
+            ).alias("cleaned"),
+        )
+    )
+
+
 def gopher_quality(
     df: DataFrame,
     id_col: str,

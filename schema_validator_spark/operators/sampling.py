@@ -20,11 +20,20 @@ from pyspark.sql import functions as F
 _HASH_MOD = 1 << 24
 
 
+def hash24(key: Column, salt: str = "") -> Column:
+    """First 6 hex nibbles of md5(salt|key) as a BIGINT in [0, 2^24) —
+    deterministic across engines (DuckDB mirror: nibble arithmetic)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def sample_hash(key: Column, salt: str = "") -> Column:
     """Uniform-ish value in [0, 1) derived from md5(salt|key) — deterministic
     across engines (DuckDB mirror: first 6 hex nibbles via conv)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6), 16, 10)
-    return h.cast("bigint") / F.lit(float(_HASH_MOD))
+    return hash24(key, salt) / F.lit(float(_HASH_MOD))
 
 
 def sample_deterministic(
@@ -86,3 +95,136 @@ def sample_to_token_budget(
         if totals.get(s)
     }
     return sample_stratified(df, key_col, strata_col, rates, 0.0, salt)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_streams: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences (sequence
+    packing, the standard pre-training batching step): each doc is appended
+    to the current bin of its stream; a doc whose exclusive running total
+    crosses the budget opens the next bin.  Docs are never split, so a bin
+    may overflow by less than one doc — the scalable approximation of
+    first-fit packing, whose exact form is inherently sequential.
+    Output: (id, stream, seq_bin, bin_offset, n_tokens); ``(stream,
+    seq_bin)`` is the global bin key, ``bin_offset`` the doc's token start
+    within its bin.
+
+    100 TB shape: ONE shuffle.  Docs hash into ``n_streams`` INDEPENDENT
+    packing streams (deterministic md5 of the id, so re-runs and engines
+    agree); within a stream the running total is a window cumsum in id
+    order.  Parallelism = n_streams — size it to ~4x the executor-core
+    count at scale (32 fits the test box); each reducer streams its
+    partition through one running counter, state O(1).  All-integer math →
+    bit-identical bins on every engine (the double division in floor() is
+    exact below 2^53 total tokens per stream)."""
+    from pyspark.sql import Window
+
+    stream = F.pmod(hash24(F.col(id_col), salt), F.lit(n_streams))
+    staged = df.select(
+        F.col(id_col),
+        stream.alias("stream"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return staged.select(
+        id_col,
+        "stream",
+        F.floor(prev / F.lit(budget)).cast("bigint").alias("seq_bin"),
+        F.pmod(prev, F.lit(budget)).cast("bigint").alias("bin_offset"),
+        "n_tokens",
+    )
+
+
+def shard_corpus(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus shuffle into ``n_shards`` training shards —
+    the "globally shuffle, then write shards" step before sequence packing.
+    Every row gets (shard, shard_pos): shard = md5₂₄(id) % n_shards,
+    shard_pos = the row's 1-based rank within its shard in (hash, id)
+    order.  The md5 order IS the shuffle: adjacent input docs land in
+    unrelated shards/positions, yet re-runs and engines reproduce the
+    exact same layout (unlike ``orderBy(rand())``).
+    Output: input columns + shard, shard_pos.
+
+    100 TB shape: ONE shuffle on the shard key; each reducer ranks only
+    its own shard (uniform by construction — the hash has no hot keys, so
+    no salting needed; size n_shards to ≥ the cluster's write parallelism
+    and this is also the physical write layout)."""
+    from pyspark.sql import Window
+
+    h = hash24(F.col(id_col), salt)
+    staged = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return staged.withColumn(
+        "shard_pos", F.row_number().over(w).cast("bigint")
+    ).drop("_h")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    n_salts: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per key (per-domain / per-host caps, the
+    crawl-balancing step) — EXACT and skew-proof, in a deterministic
+    pseudo-random order so the kept subset is stable across runs and
+    engines.  Output: input columns + ``key_rank`` (1-based rank within the
+    key; only rows with rank ≤ k survive).
+
+    A plain ``row_number() over (partition by key)`` piles a hot key's
+    entire row set onto one reducer — the planted 20%-host crawl tail makes
+    that a straggler (the asof_join lesson).  Salted two-phase instead:
+
+    1. each row gets a deterministic sub-bucket ``_salt = h % n_salts``
+       (h = md5₂₄ of the id); counts per (key, salt) aggregate with
+       map-side combine — the hot key becomes n_salts count rows;
+    2. per-key salt offsets are an exclusive cumsum over those ≤ n_salts
+       rows (a tiny window), joined back on (key, salt); global rank =
+       offset + row_number within (key, salt) ordered by (h, id).
+
+    The rank is exact for the total order (salt, h, id) per key, and no
+    reducer ever sorts more than one (key, salt) slice ≈ hot-key/n_salts
+    rows.  Raise ``n_salts`` with cluster size; k ≥ 1 required."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    staged = df.withColumn("_h", hash24(F.col(id_col), salt)).withColumn(
+        "_salt", F.pmod(F.col("_h"), F.lit(n_salts))
+    )
+    counts = staged.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        key_col,
+        "_salt",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy(key_col, "_salt").orderBy("_h", id_col)
+    ranked = staged.join(offsets, [key_col, "_salt"]).withColumn(
+        "key_rank", (F.col("_off") + F.row_number().over(w_in)).cast("bigint")
+    )
+    return ranked.where(F.col("key_rank") <= k).drop("_h", "_salt", "_off")

@@ -101,6 +101,95 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def hashed_feature_weight(feature: Column, seed: str) -> Column:
+    """Integer weight in [-1000, 1000] for a hashed text feature: 60 bits of
+    md5(seed|feature) mod 2001, shifted.  A seeded stand-in for a trained
+    fastText-style weight table — a real model would broadcast its bucket →
+    weight map and join, but the hashing-trick plumbing is identical.
+    Integer weights keep the per-document SUM bit-identical across engines
+    (float sums are order-dependent; bigint sums are not)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
+    ).cast("bigint")
+    return (F.pmod(h, F.lit(2001)) - F.lit(1000)).cast("bigint")
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seed: str = "qc",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed word features:
+    ``score = Σ w[h(f)] / (1000 · n_features) ∈ [-1, 1]`` with features =
+    word unigrams + bigrams of the whitespace-normalized lowercase text.
+    Output: (id, n_features, raw_score, score, q_pass).
+
+    This is the model-scoring step of a training-data pipeline (CCNet's
+    quality LM / fastText filters in public recipes); the weights here are
+    seeded (``hashed_feature_weight``), so the *scoring plumbing* —
+    normalize → n-gram → hash → weight → per-doc reduce — is the real,
+    scale-tested artifact, and swapping in trained weights is a broadcast
+    join on the hash bucket.
+
+    Scale shape (the minhash-signature pattern, CLAUDE.md): the normalized
+    string and the word array are each materialized in their OWN projection
+    (never re-evaluated per feature); the bigram transform references only
+    the materialized ``_words``; features are then POSEXPLODED so md5/conv
+    run as native per-row expressions inside whole-stage codegen — never
+    inside an interpreted HOF lambda — and reduce via ONE
+    map-side-combinable groupBy(id).  Integer sums → exact on every engine;
+    the single double division + round happens once per doc.  Docs whose
+    normalized text is empty score 0.0 with n_features = 0 (explode_outer
+    keeps them alive)."""
+    norm = df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+        ).alias("_norm"),
+    )
+    w = F.col("_words")
+    words = norm.select(
+        id_col,
+        F.when(F.col("_norm") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("_norm", " "))
+        .alias("_words"),
+    )
+    # sequence(1, size-1) only under the size>=2 guard: Spark's sequence
+    # DESCENDS when start > stop, so sequence(1, 0) would be [1, 0].
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(w, i), F.try_element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = words.select(id_col, F.concat(w, bigrams).alias("_feats"))
+    exploded = feats.select(id_col, F.explode_outer("_feats").alias("_f"))
+    weighted = exploded.select(
+        id_col, "_f", hashed_feature_weight(F.col("_f"), seed).alias("_w")
+    )
+    agg = weighted.groupBy(id_col).agg(
+        F.count("_f").alias("n_features"),
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("raw_score"),
+    )
+    score = F.when(F.col("n_features") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("raw_score") / (F.lit(1000.0) * F.col("n_features")), 6
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_features",
+        "raw_score",
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("q_pass"),
+    )
+
+
 def fingerprint_exact(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     Identical in DuckDB: md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))."""

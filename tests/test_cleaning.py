@@ -136,3 +136,39 @@ def test_gopher_zero_shuffle(spark, quality_docs):
     stats = plan_stats(cleaning.gopher_quality(quality_docs, "doc_id"))
     assert stats["shuffles"] == 0
     assert stats["python_evals"] == 0
+
+
+def test_dedup_paragraphs_first_occurrence(spark, web_docs):
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.dedup_paragraphs(web_docs, "doc_id").collect()
+    }
+    # the boilerplate line occurs in docs 1,2,3 -> kept ONLY in doc 1
+    assert "Subscribe" in out[1]["cleaned"]
+    assert "Subscribe" not in out[2]["cleaned"]
+    assert "Subscribe" not in out[3]["cleaned"]
+    assert out[2]["n_dropped"] == 1 and out[3]["n_dropped"] == 1
+    # unique lines all survive; doc 4 untouched
+    assert out[4]["n_dropped"] == 0 and out[4]["cleaned"] == "One line only."
+    # order preserved within the surviving doc-1 lines
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["cleaned"].index("This is") < out[1]["cleaned"].index("Subscribe")
+
+
+def test_dedup_paragraphs_same_doc_repeat(spark):
+    rows = [
+        (1, "alpha line.\nalpha line.\nbeta line."),
+        (2, "alpha line.\ngamma line."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cleaning.dedup_paragraphs(df, "doc_id").collect()}
+    # the in-doc repeat at pos 2 is dropped too (only (1, pos 0) survives)
+    assert out[1]["cleaned"] == "alpha line.\nbeta line."
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["cleaned"] == "gamma line." and out[2]["n_dropped"] == 1
+
+
+def test_dedup_paragraphs_no_window_over_raw_lines(spark, web_docs):
+    # winners come from an aggregation, not a per-line window sort
+    plan = cleaning.dedup_paragraphs(web_docs, "doc_id")._jdf.queryExecution().sparkPlan().toString()
+    assert "Window" not in plan

@@ -1,0 +1,161 @@
+"""Corpus-curation operators: hashed-feature quality classifier, sequence
+packing, skew-proof per-key caps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from schema_validator_spark.operators import sampling
+from schema_validator_spark.operators.textquality import quality_classifier
+from schema_validator_spark.plans.inspect import plan_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # identical text
+        (3, "completely different content with other words entirely"),
+        (4, ""),  # empty -> zero features
+        (5, None),  # NULL -> zero features
+        (6, "single"),  # one word -> one unigram, no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_classifier_deterministic_and_bounded(spark, docs):
+    out = {r["doc_id"]: r for r in quality_classifier(docs, "doc_id").collect()}
+    assert len(out) == 6  # empty/NULL docs survive with zero features
+    # identical text -> identical score
+    assert out[1]["score"] == out[2]["score"]
+    assert out[1]["raw_score"] == out[2]["raw_score"]
+    # 9 words -> 9 unigrams + 8 bigrams
+    assert out[1]["n_features"] == 17
+    assert out[6]["n_features"] == 1
+    for r in out.values():
+        assert -1.0 <= r["score"] <= 1.0
+        assert r["q_pass"] == (r["score"] >= 0.0)
+    assert out[4]["n_features"] == 0 and out[4]["score"] == 0.0
+    assert out[5]["n_features"] == 0 and out[5]["score"] == 0.0
+    # different text should (with overwhelming probability) score differently
+    assert out[1]["raw_score"] != out[3]["raw_score"]
+
+
+def test_quality_classifier_seed_changes_weights(spark, docs):
+    a = quality_classifier(docs, "doc_id", seed="qc").where("doc_id = 1").first()
+    b = quality_classifier(docs, "doc_id", seed="other").where("doc_id = 1").first()
+    assert a["n_features"] == b["n_features"]
+    assert a["raw_score"] != b["raw_score"]
+
+
+def test_quality_classifier_no_python(spark, docs):
+    stats = plan_stats(quality_classifier(docs, "doc_id"))
+    assert stats["python_evals"] == 0
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # 100 docs, token counts 1..100
+    rows = [(i, (i % 100) + 1) for i in range(100)]
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def test_pack_sequences_invariants(spark, sized_docs):
+    out = sampling.pack_sequences(
+        sized_docs, "doc_id", "n_tok", budget=128, n_streams=4
+    ).collect()
+    assert len(out) == 100
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r["stream"], []).append(r)
+    assert set(by_stream) <= set(range(4))
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            # bin/offset reproduce the exclusive running total exactly
+            assert r["seq_bin"] == cum // 128
+            assert r["bin_offset"] == cum % 128
+            cum += r["n_tokens"]
+        # bins are contiguous starting at 0
+        bins = sorted({r["seq_bin"] for r in rows})
+        assert bins == list(range(len(bins)))
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin_slot(spark):
+    df = spark.createDataFrame(
+        [(1, 500), (2, 10), (3, 10)], "doc_id long, n_tok long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sampling.pack_sequences(
+            df, "doc_id", "n_tok", budget=100, n_streams=1
+        ).collect()
+    }
+    # whatever order the hash stream puts them in, every offset < budget
+    assert all(r["bin_offset"] < 100 for r in out.values())
+    # total bins spanned >= ceil(520/100)
+    assert max(r["seq_bin"] for r in out.values()) >= 5
+
+
+def test_cap_per_key_exact_and_matches_global_order(spark):
+    rows = [(i, "hot" if i % 5 != 4 else f"cold{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = sampling.cap_per_key(df, "host", "doc_id", k=7, n_salts=4).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["host"], []).append(r)
+    assert len(kept["hot"]) == 7
+    assert sorted(r["key_rank"] for r in kept["hot"]) == list(range(1, 8))
+    for host, rs in kept.items():
+        if host != "hot":
+            assert len(rs) == 1 and rs[0]["key_rank"] == 1
+    # ground truth: single global window in (salt, h, id) order
+    h = sampling.hash24(F.col("doc_id"))
+    expect = (
+        df.withColumn("_h", h)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.pmod(F.col("_h"), F.lit(4)), "_h", "doc_id"
+                )
+            ),
+        )
+        .where("rk <= 7")
+        .select("doc_id")
+    )
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in expect.collect()}
+
+
+def test_cap_per_key_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, host string")
+    with pytest.raises(ValueError):
+        sampling.cap_per_key(df, "host", "doc_id", k=0)
+
+
+def test_shard_corpus_layout(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = sampling.shard_corpus(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 300
+    shards = {}
+    for r in out:
+        shards.setdefault(r["shard"], []).append(r)
+    assert set(shards) <= set(range(8))
+    # positions are a contiguous 1..n ranking per shard
+    for rows in shards.values():
+        assert sorted(r["shard_pos"] for r in rows) == list(range(1, len(rows) + 1))
+    # deterministic across runs
+    again = sampling.shard_corpus(df, "doc_id", n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["shard_pos"]) for r in again
+    }
+    # the layout is a shuffle: consecutive ids don't stay consecutive
+    pos = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in out}
+    same_shard_adjacent = sum(
+        1 for i in range(299)
+        if pos[i][0] == pos[i + 1][0] and abs(pos[i][1] - pos[i + 1][1]) == 1
+    )
+    assert same_shard_adjacent < 30
