@@ -1406,6 +1406,46 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def _mb(s: str) -> str:
+    """Render a clean string as its classic mojibake form (UTF-8 bytes
+    mis-decoded as cp1252) — the planted damage both engines must repair."""
+    return s.encode("utf-8").decode("cp1252")
+
+
+#: planted mojibake snippets; every char is in cleaning.MOJIBAKE_CHARS so the
+#: fixed output is exactly the clean string again
+_MB_SNIPPET_1 = _mb("it’s a café résumé — “quoted…")
+_MB_SNIPPET_2 = _mb("Größe «wörter» àêçñ – óú")
+
+
+def _mojibake_docs(spark, sf_dir):
+    """Deterministic mojibake substrate: every doc keeps an 80-char clean
+    prefix; docs get snippet 1 (id%3=0) and/or snippet 2 (id%4=1) appended.
+    The oracle builds the IDENTICAL string."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    return df.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 80),
+            F.when(did % 3 == 0, F.lit(_MB_SNIPPET_1)),
+            F.when(did % 4 == 1, F.lit(_MB_SNIPPET_2)),
+        ).alias("text"),
+    )
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """ftfy-lite encoding repair over the planted-mojibake substrate."""
+    out = CL.fix_mojibake(_mojibake_docs(spark, sf_dir), "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_artifacts").cast("bigint").alias("n_artifacts"),
+        "fixed",
+        "changed",
+    )
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Dolma-style first-occurrence paragraph dedup over the multi-line
     webtext substrate (the frequent-line substrate reused: the boilerplate
@@ -1479,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "cap_per_key": q_cap_per_key,
         "shard_corpus": q_shard_corpus,
+        "fix_mojibake": q_fix_mojibake,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -1658,6 +1699,20 @@ sh2 AS (
   FROM words2
 )
 """
+
+
+def _mb_pattern_sql() -> str:
+    """Literal alternation over all mojibake artifacts (no regex metachars
+    in any artifact — Java and RE2 read it identically)."""
+    return "|".join(a for a, _ in CL.mojibake_pairs())
+
+
+def _mb_fixed_sql() -> str:
+    """The exact replace chain cleaning.fix_mojibake applies, same order."""
+    expr = "text"
+    for artifact, char in CL.mojibake_pairs():
+        expr = f"replace({expr}, '{artifact}', '{char}')"
+    return expr
 
 
 def _md5_60bit_sql(expr: str) -> str:
@@ -1955,6 +2010,22 @@ SELECT doc_id, stream,
   CAST(prev % 500 AS BIGINT) AS bin_offset,
   n_tokens
 FROM c
+""",
+        "fix_mojibake": f"""
+WITH d AS (
+  SELECT doc_id, concat_ws(' ',
+    substring(text, 1, 80),
+    CASE WHEN doc_id % 3 = 0 THEN '{_MB_SNIPPET_1}' END,
+    CASE WHEN doc_id % 4 = 1 THEN '{_MB_SNIPPET_2}' END
+  ) AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_mb_pattern_sql()}')) AS BIGINT)
+    AS n_artifacts,
+  {_mb_fixed_sql()} AS fixed,
+  len(regexp_extract_all(text, '{_mb_pattern_sql()}')) > 0 AS changed
+FROM d
 """,
         "shard_corpus": f"""
 WITH h AS (

@@ -174,6 +174,51 @@ def remove_frequent_lines(
     )
 
 
+#: Characters whose UTF-8 bytes, mis-decoded as cp1252, produce the classic
+#: crawl mojibake ("café" → "cafÃ©").  Three-byte artifacts (curly quotes,
+#: dashes, ellipsis) listed before two-byte ones so the sequential replace
+#: chain never splits a longer artifact by fixing its tail first.
+MOJIBAKE_CHARS = "’“–—…éèêàâäöüçñóúß«»"
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(artifact, fixed) pairs: artifact = the char's UTF-8 bytes decoded as
+    cp1252 — derived, not hand-typed, so the table can't drift."""
+    return [(c.encode("utf-8").decode("cp1252"), c) for c in MOJIBAKE_CHARS]
+
+
+def fix_mojibake(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """ftfy-lite encoding repair for crawl text: undo the most common
+    UTF-8-decoded-as-cp1252 damage (curly quotes, dashes, ellipsis, Western
+    European accents) via an ordered literal-replace chain.
+    Output: (id, n_artifacts, fixed, changed); ``n_artifacts`` counts
+    artifact occurrences BEFORE fixing (one literal alternation scan —
+    no regex metachars in any artifact, so Java and RE2 agree).
+
+    Not a general decoder: a curated single-pass table, surgical by design
+    (unlisted artifacts pass through untouched; no fix ever re-creates an
+    artifact, since every replacement is pure ASCII-or-target-char).
+    100 TB shape: one zero-shuffle codegen projection, partitioning
+    preserved."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pairs = mojibake_pairs()
+    pattern = "|".join(a for a, _ in pairs)
+    fixed = t
+    for artifact, char in pairs:
+        fixed = F.replace(fixed, F.lit(artifact), F.lit(char))
+    staged = df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(pattern)).alias("n_artifacts"),
+        fixed.alias("fixed"),
+    )
+    return staged.select(
+        id_col,
+        "n_artifacts",
+        "fixed",
+        (F.col("n_artifacts") > 0).alias("changed"),
+    )
+
+
 def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Corpus-wide FIRST-OCCURRENCE paragraph dedup (Dolma's exact paragraph
     dedup): every line keeps only its first occurrence across the whole

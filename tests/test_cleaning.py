@@ -172,3 +172,23 @@ def test_dedup_paragraphs_no_window_over_raw_lines(spark, web_docs):
     # winners come from an aggregation, not a per-line window sort
     plan = cleaning.dedup_paragraphs(web_docs, "doc_id")._jdf.queryExecution().sparkPlan().toString()
     assert "Window" not in plan
+
+
+def test_fix_mojibake_roundtrip(spark):
+    clean = "it’s a café résumé — “quoted… Größe «wörter» àêçñ – óú"
+    damaged = clean.encode("utf-8").decode("cp1252")
+    assert damaged != clean
+    rows = [(1, damaged), (2, "plain ascii text."), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cleaning.fix_mojibake(df, "doc_id").collect()}
+    assert out[1]["fixed"] == clean and out[1]["changed"]
+    # one artifact per non-ascii char in the clean string
+    assert out[1]["n_artifacts"] == sum(1 for c in clean if ord(c) > 127)
+    assert out[2]["fixed"] == "plain ascii text." and not out[2]["changed"]
+    assert out[3]["fixed"] == "" and out[3]["n_artifacts"] == 0
+
+
+def test_fix_mojibake_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    stats = plan_stats(cleaning.fix_mojibake(df, "doc_id"))
+    assert stats["shuffles"] == 0 and stats["python_evals"] == 0
