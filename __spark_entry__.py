@@ -1020,6 +1020,29 @@ def q_sample_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars")
 
 
+#: shared mixture weights / split fractions — the SAME dicts generate both
+#: the Spark plan and the DuckDB oracle, so the two sides can't drift.
+#: ('es' is deliberately absent from the weights: absent stratum = dropped.)
+_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "zh": 0.75, "fr": 0.0}
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_upsample_mixture(spark, sf_dir):
+    """Domain-mixing with repetition: en ×2.5, de ×1, zh ×0.75, fr/es
+    dropped — fractional epochs decided by the doc-id hash (zero shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.upsample_mixture(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    return out.select("doc_id", "lang", "epoch")
+
+
+def q_split_by_group(spark, sf_dir):
+    """Leakage-safe train/val/test split hashed on the SOURCE group so
+    same-site documents never straddle the split."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.split_by_group(docs, "source", _SPLIT_FRACTIONS)
+    return out.select("doc_id", "source", "split")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """md5-bit SimHash family (60-bit fingerprints, 4×15-bit pigeonhole
     blocks) so the whole pipeline — shingle→fingerprint→block→hamming — is
@@ -1520,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_key": q_cap_per_key,
         "shard_corpus": q_shard_corpus,
         "fix_mojibake": q_fix_mojibake,
+        "upsample_mixture": q_upsample_mixture,
+        "split_by_group": q_split_by_group,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -1713,6 +1738,35 @@ def _mb_fixed_sql() -> str:
     for artifact, char in CL.mojibake_pairs():
         expr = f"replace({expr}, '{artifact}', '{char}')"
     return expr
+
+
+def _mix_base_cases_sql() -> str:
+    """CASE arms for the whole-copy count per stratum — derived from the
+    SAME _MIX_WEIGHTS dict the Spark plan uses (sampling.upsample_mixture's
+    floor(w) term)."""
+    return " ".join(
+        f"WHEN '{k}' THEN {int(float(w))}" for k, w in sorted(_MIX_WEIGHTS.items())
+    )
+
+
+def _mix_thr_cases_sql() -> str:
+    """CASE arms for the fractional-copy integer threshold per stratum —
+    int(frac(w) * 2^24), identical to the Spark side's literal."""
+    return " ".join(
+        f"WHEN '{k}' THEN {int((float(w) - int(float(w))) * (1 << 24))}"
+        for k, w in sorted(_MIX_WEIGHTS.items())
+    )
+
+
+def _split_cases_sql() -> str:
+    """Cumulative hash-range thresholds in _SPLIT_FRACTIONS insertion order —
+    mirrors sampling.split_by_group's chained whens exactly."""
+    cum = 0.0
+    whens = []
+    for name, frac in _SPLIT_FRACTIONS.items():
+        cum += float(frac)
+        whens.append(f"WHEN hv < {int(cum * (1 << 24))} THEN '{name}'")
+    return " ".join(whens)
 
 
 def _md5_60bit_sql(expr: str) -> str:
@@ -2721,6 +2775,29 @@ h AS (
   FROM documents d JOIN tot t ON d.lang = t.lang
 )
 SELECT doc_id, lang, n_chars FROM h WHERE u < rate
+""",
+        "upsample_mixture": f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    {_md5_24bit_sql("CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+    (CASE lang {_mix_base_cases_sql()} ELSE 0 END
+     + CASE WHEN hv < CASE lang {_mix_thr_cases_sql()} ELSE 0 END
+       THEN 1 ELSE 0 END) AS n_copies
+  FROM h
+)
+SELECT doc_id, lang,
+  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM n WHERE n_copies >= 1
+""",
+        "split_by_group": f"""
+SELECT doc_id, source, CASE {_split_cases_sql()} END AS split
+FROM (
+  SELECT doc_id, source, {_md5_24bit_sql("source")} AS hv FROM documents
+)
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

@@ -97,6 +97,78 @@ def sample_to_token_budget(
     return sample_stratified(df, key_col, strata_col, rates, 0.0, salt)
 
 
+def upsample_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Domain mixing with REPETITION: repeat each stratum's rows by a
+    fractional weight (e.g. wiki ×3.5, web ×0.8) — the physical-epochs step
+    that turns DoReMi/Llama-style domain weights into an actual corpus.
+    Every row gets ``floor(w)`` copies, plus one more iff its id-hash falls
+    below ``frac(w)`` — so the expected copy count per stratum is exactly
+    ``w``, a weight < 1 degrades to a deterministic downsample, and a weight
+    of 0 (or an absent stratum) drops the stratum.  Output: input columns +
+    ``epoch`` (1-based copy index).  Same id → same decision, across re-runs
+    and engines (integer threshold compare on the 24-bit md5 hash).
+
+    100 TB shape: zero shuffle — a pushed drop-stratum filter plus a
+    ``sequence``/``explode`` fan-out in one codegen projection; partitioning
+    is preserved, and the fan-out is bounded by ``ceil(max(w))`` per row."""
+    base = F.lit(0)
+    thr = F.lit(0)
+    for value, w in sorted(weights.items()):
+        w = float(w)
+        if w < 0:
+            raise ValueError(f"negative weight for stratum {value!r}")
+        is_v = F.col(strata_col) == value
+        base = F.when(is_v, F.lit(int(w))).otherwise(base)
+        thr = F.when(is_v, F.lit(int((w - int(w)) * _HASH_MOD))).otherwise(thr)
+    n_copies = base + (hash24(F.col(id_col), salt) < thr).cast("int")
+    staged = df.withColumn("_n_copies", n_copies).where(F.col("_n_copies") >= 1)
+    exploded = staged.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
+    )
+    return exploded.withColumn("epoch", F.col("epoch").cast("bigint")).drop(
+        "_n_copies"
+    )
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split decision hashes the
+    GROUP (host, source, near-dup ``cluster_id``) rather than the row, so
+    correlated rows — near-duplicates, same-site boilerplate — can never
+    straddle the split and leak eval data into training.  ``fractions`` maps
+    split name → fraction of the hash range, assigned in insertion order;
+    the sum must be ≤ 1 and any remainder gets a NULL split (an explicit
+    holdout).  Output: input columns + ``split``.
+
+    100 TB shape: zero shuffle — one chained-threshold projection over the
+    24-bit group hash, reproducible across runs/engines, pushable as a scan
+    filter when a single split is selected downstream."""
+    total = 0.0
+    expr = None
+    for name, frac in fractions.items():
+        frac = float(frac)
+        if frac < 0:
+            raise ValueError(f"negative fraction for split {name!r}")
+        total += frac
+        cond = hash24(F.col(group_col), salt) < F.lit(int(total * _HASH_MOD))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}, must be <= 1")
+    if expr is None:
+        raise ValueError("fractions must name at least one split")
+    return df.withColumn("split", expr)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

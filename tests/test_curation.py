@@ -136,6 +136,87 @@ def test_cap_per_key_rejects_bad_k(spark):
         sampling.cap_per_key(df, "host", "doc_id", k=0)
 
 
+def test_upsample_mixture_fractional_epochs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.upsample_mixture(
+        df, "doc_id", "lang", {"en": 2.5, "de": 1.0, "fr": 0.0}
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        lang = rs[0]["lang"]
+        # epochs are contiguous 1..n and n matches the stratum weight
+        assert sorted(r["epoch"] for r in rs) == list(range(1, len(rs) + 1))
+        if lang == "en":
+            assert len(rs) in (2, 3)
+        else:
+            assert lang == "de" and len(rs) == 1
+    # weight-0 stratum dropped entirely
+    assert all(rs[0]["lang"] != "fr" for rs in by_doc.values())
+    # expected copies per en doc = 2.5; 100 docs -> binomial(100, .5)+200
+    n_en = sum(len(rs) for rs in by_doc.values() if rs[0]["lang"] == "en")
+    assert 220 <= n_en <= 280
+    # deterministic across runs
+    again = sampling.upsample_mixture(
+        df, "doc_id", "lang", {"en": 2.5, "de": 1.0, "fr": 0.0}
+    ).collect()
+    assert {(r["doc_id"], r["epoch"]) for r in out} == {
+        (r["doc_id"], r["epoch"]) for r in again
+    }
+
+
+def test_upsample_mixture_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    stats = plan_stats(sampling.upsample_mixture(df, "doc_id", "lang", {"en": 1.5}))
+    assert stats["shuffles"] == 0 and stats["python_evals"] == 0
+
+
+def test_upsample_mixture_rejects_negative_weight(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        sampling.upsample_mixture(df, "doc_id", "lang", {"en": -1.0})
+
+
+def test_split_by_group_no_group_straddles(spark):
+    rows = [(i, f"host{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = sampling.split_by_group(
+        df, "host", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 400
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    # the whole point: one split per group, never NULL when fractions sum to 1
+    for splits in by_host.values():
+        assert len(splits) == 1 and None not in splits
+    names = {r["split"] for r in out}
+    assert names <= {"train", "val", "test"}
+    counts = {n: sum(1 for r in out if r["split"] == n) for n in names}
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_split_by_group_remainder_is_null_holdout(spark):
+    rows = [(i, f"g{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = sampling.split_by_group(df, "g", {"train": 0.5}).collect()
+    n_null = sum(1 for r in out if r["split"] is None)
+    n_train = sum(1 for r in out if r["split"] == "train")
+    assert n_null + n_train == 200 and n_null > 50 and n_train > 50
+
+
+def test_split_by_group_zero_shuffle_and_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, g string")
+    stats = plan_stats(sampling.split_by_group(df, "g", {"train": 1.0}))
+    assert stats["shuffles"] == 0 and stats["python_evals"] == 0
+    with pytest.raises(ValueError):
+        sampling.split_by_group(df, "g", {"train": 0.9, "val": 0.2})
+    with pytest.raises(ValueError):
+        sampling.split_by_group(df, "g", {})
+
+
 def test_shard_corpus_layout(spark):
     df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
     out = sampling.shard_corpus(df, "doc_id", n_shards=8).collect()
