@@ -765,6 +765,34 @@ def q_windowed_profile(spark, sf_dir):
     )
 
 
+#: static baseline bucket probabilities for the streaming drift monitor —
+#: exact 64ths (binary-exact doubles) over the 0..100 ×10 width_bucket grid
+#: (underflow + 10 buckets + overflow); the SAME list generates the Spark
+#: plan and the DuckDB oracle's CASE arms.
+_DRIFT_BASELINE = [k / 64.0 for k in (1, 4, 8, 16, 16, 8, 4, 2, 2, 1, 1, 1)]
+
+
+def q_windowed_drift(spark, sf_dir):
+    """Batch form of streaming.windowed_drift: per event-time-day PSI of the
+    value histogram against a static baseline — F.window and the counter
+    aggregation work identically in both modes, so a green oracle here
+    byte-checks the streaming kernel (the windowed_profile pattern)."""
+    from schema_validator_spark.streaming.runner import windowed_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_drift(
+        ev, "value", "ts", _DRIFT_BASELINE, lo=0.0, hi=100.0, nbuckets=10,
+        window_duration="1 day", watermark=None,
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "n_rows",
+        F.round("psi", 4).alias("psi"),
+        "drifted",
+    )
+
+
 def q_dedup_stream_batch(spark, sf_dir):
     """Deterministic batch analog of streaming.dedup_stream's bounded-state
     dedup: one kept event per (user_id, event_type) per watermark-width
@@ -1545,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "upsample_mixture": q_upsample_mixture,
         "split_by_group": q_split_by_group,
+        "windowed_drift": q_windowed_drift,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -1767,6 +1796,16 @@ def _split_cases_sql() -> str:
         cum += float(frac)
         whens.append(f"WHEN hv < {int(cum * (1 << 24))} THEN '{name}'")
     return " ".join(whens)
+
+
+def _drift_p_sql() -> str:
+    """CASE arms mapping bucket → baseline probability — emitted as
+    integer-over-64 division so DuckDB computes the identical binary-exact
+    double the Spark plan folds with (derived from _DRIFT_BASELINE)."""
+    return " ".join(
+        f"WHEN {b} THEN ({int(p * 64)}::DOUBLE / 64)"
+        for b, p in enumerate(_DRIFT_BASELINE)
+    )
 
 
 def _md5_60bit_sql(expr: str) -> str:
@@ -2565,6 +2604,31 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(user_id) AS user_id_count,
   count(DISTINCT user_id) AS user_id_distinct
 FROM events GROUP BY 1
+""",
+        "windowed_drift": f"""
+WITH src AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+    CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 11
+         ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT ws, bucket, count(*) AS n FROM src GROUP BY 1, 2),
+tot AS (
+  SELECT ws, CAST(sum(n) AS DOUBLE) AS t, CAST(sum(n) AS BIGINT) AS n_rows
+  FROM h GROUP BY 1
+),
+grid AS (SELECT ws, unnest(generate_series(0, 11)) AS bucket FROM tot),
+probs AS (
+  SELECT g.ws,
+    CASE g.bucket {_drift_p_sql()} END AS p,
+    greatest(coalesce(h.n, 0) / t.t, 1e-4) AS q
+  FROM grid g JOIN tot t ON g.ws = t.ws
+  LEFT JOIN h ON g.ws = h.ws AND g.bucket = h.bucket
+),
+agg AS (SELECT ws, sum((p - q) * ln(p / q)) AS psi_raw FROM probs GROUP BY ws)
+SELECT a.ws AS window_start, a.ws + INTERVAL '1 day' AS window_end,
+  t.n_rows, round(a.psi_raw, 4) AS psi, a.psi_raw > 0.25 AS drifted
+FROM agg a JOIN tot t ON a.ws = t.ws
 """,
         "dedup_stream_batch": """
 WITH r AS (

@@ -111,6 +111,72 @@ def windowed_profile(
     )
 
 
+def windowed_drift(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    baseline_probs: "list[float]",
+    lo: float,
+    hi: float,
+    nbuckets: int,
+    window_duration: str = "1 minute",
+    watermark: "str | None" = "5 minutes",
+    eps: float = 1e-4,
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: PSI of each event-time window's
+    value histogram against a STATIC baseline distribution (e.g. yesterday's
+    profiled era) — the live data-quality alarm on an ingest stream, closing
+    the loop between ``windowed_profile`` and ``operators.drift``.
+
+    Streaming forbids chained aggregations, so the per-window histogram is
+    ONE aggregation of ``nbuckets + 2`` conditional counters (underflow +
+    buckets + overflow, the same ``width_bucket`` grid as operators.drift)
+    and the PSI folds over those counters in a stateless projection —
+    append-mode safe behind the watermark.  ``baseline_probs`` supplies the
+    nbuckets+2 baseline bucket probabilities; NULL values are excluded
+    (same rule as ``psi``).  Arithmetic per window is identical to
+    ``drift.psi_single_pass`` (same counts → same value).  Works identically
+    on a batch frame (pass ``watermark=None``) — the oracle-checkable form.
+
+    100 TB shape: the shuffle carries only per-window counter buffers
+    (nbuckets + 2 longs); watermark bounds state regardless of stream
+    volume; the PSI fold is a pure projection over one row per window."""
+    if len(baseline_probs) != nbuckets + 2:
+        raise ValueError(
+            f"baseline_probs must have nbuckets + 2 = {nbuckets + 2} entries "
+            f"(underflow + {nbuckets} buckets + overflow), got {len(baseline_probs)}"
+        )
+    bucket = F.width_bucket(
+        F.col(value_col).cast("double"),
+        F.lit(float(lo)),
+        F.lit(float(hi)),
+        F.lit(nbuckets),
+    )
+    src = stream_df.where(F.col(value_col).isNotNull()).withColumn("_bucket", bucket)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum((F.col("_bucket") == b).cast("long")).alias(f"_c{b}")
+        for b in range(nbuckets + 2)
+    ]
+    h = src.groupBy(F.window(F.col(ts_col), window_duration).alias("win")).agg(*aggs)
+    total = F.col("n_rows").cast("double")
+    psi = None
+    for b in range(nbuckets + 2):
+        p = max(float(baseline_probs[b]), eps)
+        q = F.greatest(F.col(f"_c{b}") / total, F.lit(float(eps)))
+        term = (F.lit(p) - q) * F.log(F.lit(p) / q)
+        psi = term if psi is None else psi + term
+    return h.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n_rows",
+        psi.alias("psi"),
+        (psi > F.lit(float(psi_threshold))).alias("drifted"),
+    )
+
+
 def sessionized_verdicts(
     validated: DataFrame,
     key_cols: list,

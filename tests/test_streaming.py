@@ -166,6 +166,82 @@ def test_windowed_profile_stream(spark, tmp_path):
     assert abs(r["v_null_rate"] - 0.2) < 1e-9
 
 
+def test_windowed_drift_stream(spark, tmp_path):
+    from schema_validator_spark.streaming.runner import windowed_drift
+
+    src = str(tmp_path / "wdsrc")
+    # hour 0 matches the uniform baseline (values spread over all 5 buckets);
+    # hour 1 is fully collapsed into bucket 1 (major shift); hour 2 exists
+    # only to flush the first two windows past the watermark
+    rows = (
+        [(i, float(i % 10) + 0.5, "2024-01-01 00:00:%02d" % i) for i in range(50)]
+        + [(100 + i, 0.5, "2024-01-01 01:00:%02d" % i) for i in range(50)]
+        + [(200, 5.0, "2024-01-01 02:00:00")]
+    )
+    df = spark.createDataFrame(rows, "id long, v double, ts string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    baseline = [0.0, 0.2, 0.2, 0.2, 0.2, 0.2, 0.0]  # uniform over buckets 1-5
+    stream = spark.readStream.schema("id long, v double, ts timestamp").parquet(src)
+    drift = windowed_drift(
+        stream, "v", "ts", baseline, lo=0.0, hi=10.0, nbuckets=5,
+        window_duration="1 hour", watermark="0 seconds",
+    )
+    out = str(tmp_path / "wdout")
+    q = (
+        drift.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wdchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"].hour: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1}  # third window still open, held back
+    assert got[0]["n_rows"] == 50 and not got[0]["drifted"]
+    assert got[0]["psi"] < 0.01  # matches baseline
+    assert got[1]["drifted"] and got[1]["psi"] > 1.0  # collapsed distribution
+
+
+def test_windowed_drift_batch_matches_reference_arithmetic(spark):
+    import math
+
+    from schema_validator_spark.streaming.runner import windowed_drift
+
+    rows = [(i, float(i % 7), "2024-01-01 00:00:%02d" % (i % 60)) for i in range(40)]
+    rows += [(1000, None, "2024-01-01 00:00:05")]  # NULL value excluded
+    df = spark.createDataFrame(rows, "id long, v double, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    baseline = [0.0, 0.25, 0.25, 0.25, 0.25, 0.0]
+    out = windowed_drift(
+        df, "v", "ts", baseline, lo=0.0, hi=8.0, nbuckets=4,
+        window_duration="1 hour", watermark=None,
+    ).collect()
+    assert len(out) == 1 and out[0]["n_rows"] == 40
+    # replay psi_single_pass's fold exactly
+    counts = [0] * 6
+    for i in range(40):
+        v = float(i % 7)
+        counts[0 if v < 0 else 5 if v >= 8 else int(v // 2) + 1] += 1
+    eps, psi = 1e-4, 0.0
+    for b in range(6):
+        p = max(baseline[b], eps)
+        q = max(counts[b] / 40.0, eps)
+        psi += (p - q) * math.log(p / q)
+    assert abs(out[0]["psi"] - psi) < 1e-9
+    assert out[0]["drifted"] == (psi > 0.25)
+
+
+def test_windowed_drift_rejects_bad_baseline(spark):
+    from schema_validator_spark.streaming.runner import windowed_drift
+
+    df = spark.createDataFrame([(1, 1.0, "2024-01-01")], "id long, v double, ts string")
+    with pytest.raises(ValueError):
+        windowed_drift(df, "v", "ts", [0.5, 0.5], 0.0, 10.0, 5)
+
+
 def test_violations_sample_partition_independent(spark):
     # deterministic triage sample: identical rows regardless of layout
     s = schema()
