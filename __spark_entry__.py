@@ -1207,6 +1207,18 @@ def q_language_counts(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Top-100 corpus vocabulary with occurrence + document frequencies —
+    explode → one hash agg → TakeOrderedAndProject (per-partition heap, no
+    global sort shuffle); ties broken by the word for engine-stable rows."""
+    out = TQ.vocab_topk(_t(spark, sf_dir, "documents"), "doc_id", k=100)
+    return out.select(
+        "word",
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 def q_token_totals(spark, sf_dir):
     """Corpus token accounting per language — the bread-and-butter
     training-data aggregate (whitespace + BPE-ish counts, one pass)."""
@@ -1574,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_mixture": q_upsample_mixture,
         "split_by_group": q_split_by_group,
         "windowed_drift": q_windowed_drift,
+        "vocab_topk": q_vocab_topk,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -3074,6 +3087,19 @@ SELECT lang, count(*) AS docs,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe,
   CAST(sum(strlen(text)) AS BIGINT) AS bytes
 FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "vocab_topk": f"""
+WITH w AS (
+  SELECT doc_id AS _id,
+    unnest(string_split({_NORM_TEXT}, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT _id) AS BIGINT) AS n_docs
+FROM w WHERE word <> ''
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 100
 """,
         "corpus_filter": f"""
 WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),

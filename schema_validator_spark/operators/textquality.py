@@ -238,6 +238,42 @@ def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary audit: the ``k`` most frequent whitespace words with
+    occurrence and document frequencies — the input to tokenizer training,
+    stopword curation, and boilerplate-phrase review.  Output:
+    (word, n_occurrences, n_docs), deterministically ordered by
+    (n_occurrences desc, word asc) with ties broken by the word itself so
+    every engine returns the identical k rows.
+
+    100 TB shape: words are materialized ONCE per doc in their own
+    projection (the interpreted-HOF rule), exploded, and counted in one
+    hash aggregation — Zipf-hot words (``the``) are absorbed by map-side
+    partial aggregation, never a single-reducer pile-up.  The top-k is
+    ``orderBy(...).limit(k)``, which Spark plans as TakeOrderedAndProject:
+    a per-partition heap of k rows merged on the driver — no global sort
+    shuffle of the (huge) vocabulary."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), words.alias("_words")
+    )
+    exploded = staged.select("_id", F.explode("_words").alias("word")).where(
+        F.col("word") != ""
+    )
+    counts = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("word").asc()).limit(k)
+
+
 def intra_doc_repetition(
     text: Column, n_gram: int = 3, words: "Column | None" = None
 ) -> Column:

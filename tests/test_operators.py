@@ -317,3 +317,31 @@ def test_asof_join_tie_break_modes(spark):
     assert row["profile"] in ("a", "b")
     with pytest.raises(ValueError, match="tie_break"):
         asof_join(fact, dim, "uid", "ts", "ts", tie_break="max")
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from schema_validator_spark.operators.textquality import vocab_topk
+
+    rows = [
+        (1, "The cat  sat on the mat"),
+        (2, "the cat ran"),
+        (3, None),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_topk(df, "doc_id", k=3).collect()
+    # 'the' 3x in 2 docs, 'cat' 2x in 2 docs, then alphabetical among 1x words
+    assert [(r["word"], r["n_occurrences"], r["n_docs"]) for r in out] == [
+        ("the", 3, 2),
+        ("cat", 2, 2),
+        ("mat", 1, 1),
+    ]
+
+
+def test_vocab_topk_take_ordered_plan(spark):
+    from schema_validator_spark.operators.textquality import vocab_topk
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = vocab_topk(df, "doc_id", k=5)._jdf.queryExecution().sparkPlan().toString()
+    # top-k must be a per-partition heap merge, not a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
