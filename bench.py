@@ -130,10 +130,12 @@ def main():
 
     def web_quality_cls(spark, sf_dir):
         # hashed uni+bigram classifier over the 1M-row crawl text:
-        # explode → native md5 → map-side-combined agg throughput
+        # explode → native xxhash64 weights → map-side-combined agg
+        # (the production fast path; md5 stays the driver-oracle family,
+        # exactly the minhash fast/oracle split)
         from schema_validator_spark.operators import textquality as TQ
 
-        return TQ.quality_classifier(web, "url").agg(
+        return TQ.quality_classifier(web, "url", hash_fn="xxhash64").agg(
             F.sum("raw_score"), F.sum("n_features")
         )
 

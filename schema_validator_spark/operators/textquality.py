@@ -101,16 +101,28 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def hashed_feature_weight(feature: Column, seed: str) -> Column:
-    """Integer weight in [-1000, 1000] for a hashed text feature: 60 bits of
-    md5(seed|feature) mod 2001, shifted.  A seeded stand-in for a trained
+def hashed_feature_weight(
+    feature: Column, seed: str, hash_fn: str = "md5"
+) -> Column:
+    """Integer weight in [-1000, 1000] for a hashed text feature: hash of
+    (seed|feature) mod 2001, shifted.  A seeded stand-in for a trained
     fastText-style weight table — a real model would broadcast its bucket →
     weight map and join, but the hashing-trick plumbing is identical.
     Integer weights keep the per-document SUM bit-identical across engines
-    (float sums are order-dependent; bigint sums are not)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
-    ).cast("bigint")
+    (float sums are order-dependent; bigint sums are not).
+
+    ``hash_fn``: ``"md5"`` (default) is the cross-engine family every
+    external oracle can replay; ``"xxhash64"`` is the fast production path
+    (one native 64-bit hash instead of md5 + hex-string conv — the minhash
+    fast/oracle split, deterministic within Spark only)."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
+        ).cast("bigint")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.concat(F.lit(seed + "|"), feature))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return (F.pmod(h, F.lit(2001)) - F.lit(1000)).cast("bigint")
 
 
@@ -120,6 +132,7 @@ def quality_classifier(
     text_col: str = "text",
     seed: str = "qc",
     threshold: float = 0.0,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed word features:
     ``score = Σ w[h(f)] / (1000 · n_features) ∈ [-1, 1]`` with features =
@@ -170,7 +183,7 @@ def quality_classifier(
     feats = words.select(id_col, F.concat(w, bigrams).alias("_feats"))
     exploded = feats.select(id_col, F.explode_outer("_feats").alias("_f"))
     weighted = exploded.select(
-        id_col, "_f", hashed_feature_weight(F.col("_f"), seed).alias("_w")
+        id_col, "_f", hashed_feature_weight(F.col("_f"), seed, hash_fn).alias("_w")
     )
     agg = weighted.groupBy(id_col).agg(
         F.count("_f").alias("n_features"),

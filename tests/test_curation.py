@@ -50,6 +50,20 @@ def test_quality_classifier_seed_changes_weights(spark, docs):
     assert a["raw_score"] != b["raw_score"]
 
 
+def test_quality_classifier_xxhash64_fast_path(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier(docs, "doc_id", hash_fn="xxhash64").collect()
+    }
+    md5 = {r["doc_id"]: r for r in quality_classifier(docs, "doc_id").collect()}
+    # same feature extraction, different weight family
+    assert all(out[i]["n_features"] == md5[i]["n_features"] for i in out)
+    assert all(-1.0 <= r["score"] <= 1.0 for r in out.values())
+    assert out[1]["raw_score"] == out[2]["raw_score"]  # identical text
+    with pytest.raises(ValueError, match="hash_fn"):
+        quality_classifier(docs, "doc_id", hash_fn="sha1").collect()
+
+
 def test_quality_classifier_no_python(spark, docs):
     stats = plan_stats(quality_classifier(docs, "doc_id"))
     assert stats["python_evals"] == 0
