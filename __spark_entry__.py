@@ -1509,6 +1509,21 @@ def q_fix_mojibake(spark, sf_dir):
     )
 
 
+#: blocklist for the C4-style badword gate — the list is caller config (C4
+#: uses LDNOOBW); these two fire on the synthetic corpus vocabulary.  The
+#: SAME tuple generates the Spark plan and the oracle's alternation.
+_BADWORDS = ("slow", "broken")
+
+
+def q_badword_filter(spark, sf_dir):
+    """C4 document-level blocklist gate: whole-word hits counted in ONE
+    zero-shuffle alternation scan; kept = hits <= max_hits."""
+    out = CL.badword_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", _BADWORDS, max_hits=2
+    )
+    return out.select("doc_id", "n_badwords", "kept")
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Dolma-style first-occurrence paragraph dedup over the multi-line
     webtext substrate (the frequent-line substrate reused: the boilerplate
@@ -1587,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_group": q_split_by_group,
         "windowed_drift": q_windowed_drift,
         "vocab_topk": q_vocab_topk,
+        "badword_filter": q_badword_filter,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -1766,6 +1782,11 @@ sh2 AS (
   FROM words2
 )
 """
+
+
+def _badword_pattern_sql() -> str:
+    """Whole-word alternation over _BADWORDS (literals, no metachars)."""
+    return r"\b(" + "|".join(_BADWORDS) + r")\b"
 
 
 def _mb_pattern_sql() -> str:
@@ -3087,6 +3108,14 @@ SELECT lang, count(*) AS docs,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe,
   CAST(sum(strlen(text)) AS BIGINT) AS bytes
 FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "badword_filter": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+       '{_badword_pattern_sql()}')) AS BIGINT) AS n_badwords,
+  len(regexp_extract_all(lower(coalesce(text, '')),
+       '{_badword_pattern_sql()}')) <= 2 AS kept
+FROM documents
 """,
         "vocab_topk": f"""
 WITH w AS (

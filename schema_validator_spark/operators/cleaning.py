@@ -93,6 +93,37 @@ def clean_lines(
     )
 
 
+def badword_filter(
+    df: DataFrame,
+    id_col: str,
+    blocklist: "tuple[str, ...]",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4's document-level blocklist rule: count whole-word, case-insensitive
+    occurrences of blocklisted words and keep only documents with at most
+    ``max_hits`` (C4 drops a page on ANY hit).  The word list is a caller
+    config (C4 uses the public LDNOOBW list) — this operator is the scan
+    plumbing.  Output: (id, n_badwords, kept).
+
+    100 TB shape: ONE zero-shuffle codegen projection — a single compiled
+    alternation scan per document regardless of list size; partitioning
+    preserved, and ``kept`` pushes to the scan when filtered on downstream.
+    Blocklist words are regex-escaped, so literals only."""
+    import re as _re
+
+    if not blocklist:
+        raise ValueError("blocklist must name at least one word")
+    pat = r"\b(" + "|".join(_re.escape(w.lower()) for w in blocklist) + r")\b"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    hits = F.regexp_count(F.lower(t), F.lit(pat))
+    return df.select(
+        F.col(id_col),
+        hits.cast("bigint").alias("n_badwords"),
+        (hits <= max_hits).alias("kept"),
+    )
+
+
 def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, _pos, _ln): trimmed non-empty lines with their position.  Empty
     lines are not content — they neither count nor come back."""

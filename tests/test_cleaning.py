@@ -192,3 +192,37 @@ def test_fix_mojibake_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     stats = plan_stats(cleaning.fix_mojibake(df, "doc_id"))
     assert stats["shuffles"] == 0 and stats["python_evals"] == 0
+
+
+def test_badword_filter(spark):
+    rows = [
+        (1, "a perfectly Clean document about tables"),
+        (2, "contains BLOCKED word once"),
+        (3, "blocked twice: blocked!"),
+        (4, "subword notblocked stays clean"),  # word boundary respected
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.badword_filter(df, "doc_id", ("blocked",)).collect()
+    }
+    assert out[1]["kept"] and out[1]["n_badwords"] == 0
+    assert not out[2]["kept"] and out[2]["n_badwords"] == 1
+    assert not out[3]["kept"] and out[3]["n_badwords"] == 2
+    assert out[4]["kept"]  # 'notblocked' is not a whole-word hit
+    assert out[5]["kept"] and out[5]["n_badwords"] == 0
+    # max_hits tolerance
+    tol = {
+        r["doc_id"]: r["kept"]
+        for r in cleaning.badword_filter(df, "doc_id", ("blocked",), max_hits=1).collect()
+    }
+    assert tol[2] and not tol[3]
+    with pytest.raises(ValueError):
+        cleaning.badword_filter(df, "doc_id", ())
+
+
+def test_badword_filter_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    stats = plan_stats(cleaning.badword_filter(df, "doc_id", ("a", "b")))
+    assert stats["shuffles"] == 0 and stats["python_evals"] == 0
