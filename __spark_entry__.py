@@ -1027,6 +1027,17 @@ def q_cluster_keep_best(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "score")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-batch ingestion dedup: drop documents whose exact normalized
+    fingerprint already exists in the 'previously ingested' catalog
+    (doc_id % 5 == 0 plays the old corpus) — broadcast anti-join, the new
+    batch is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    cat = D.catalog_fingerprints(docs.where(F.col("doc_id") % 5 == 0))
+    out = D.dedup_against_catalog(docs, cat, "doc_id", strategy="broadcast")
+    return out.select("doc_id", "fingerprint")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language sampling quota: md5-keyed decision —
     reproducible across engines and re-runs, pure filter (no shuffle)."""
@@ -1603,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "vocab_topk": q_vocab_topk,
         "badword_filter": q_badword_filter,
+        "dedup_incremental": q_dedup_incremental,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -3108,6 +3120,16 @@ SELECT lang, count(*) AS docs,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe,
   CAST(sum(strlen(text)) AS BIGINT) AS bytes
 FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "dedup_incremental": f"""
+WITH n AS (
+  SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+),
+cat AS (
+  SELECT DISTINCT md5({_NORM_TEXT}) AS fp FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, fingerprint FROM n
+WHERE NOT EXISTS (SELECT 1 FROM cat WHERE cat.fp = n.fingerprint)
 """,
         "badword_filter": f"""
 SELECT doc_id,

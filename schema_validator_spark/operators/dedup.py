@@ -810,3 +810,57 @@ def dim_hint(df: DataFrame, vec_col: str) -> int:
         "explicitly or declare it once at ingestion with "
         f"declare_dim(df, {vec_col!r}, dim)"
     )
+
+
+# -- cross-batch (incremental) dedup -------------------------------------------
+
+def catalog_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-column (``fingerprint``) catalog of a corpus's exact-content
+    fingerprints (md5 of whitespace-normalized lowercase text) — build once
+    per ingested corpus, append survivors after every new batch."""
+    from .textquality import fingerprint_exact
+
+    return df.select(
+        fingerprint_exact(F.col(text_col)).alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
+
+
+def dedup_against_catalog(
+    df: DataFrame,
+    catalog: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    catalog_fp_col: str = "fingerprint",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop new documents whose exact
+    (normalized) content fingerprint already exists in a catalog of
+    previously ingested documents — the cross-batch companion to the
+    within-corpus dedup operators (a fresh crawl must not re-add what the
+    training set already holds; the same shape excludes a frozen eval set).
+    Returns the SURVIVING rows of ``df`` with their ``fingerprint`` attached,
+    so survivors can be appended to the catalog in the same pass
+    (``catalog_fingerprints`` builds the initial catalog).
+
+    Rows with a NULL ``text_col`` always survive (NULL fingerprints never
+    match — degenerate-doc policy belongs to the cleaning gates, not here).
+
+    100 TB shape: a left-anti join against the DISTINCT catalog prints —
+    ``broadcast`` ships the prints once and never shuffles the new batch
+    (right for catalogs under the executor-memory bar), ``shuffle_hash``
+    hash-partitions both sides for bigger catalogs (no sort of either
+    side), ``auto`` lets Catalyst/AQE pick (the referential.py strategy
+    switch)."""
+    from .textquality import fingerprint_exact
+
+    staged = df.withColumn("fingerprint", fingerprint_exact(F.col(text_col)))
+    cat = catalog.select(
+        F.col(catalog_fp_col).alias("fingerprint")
+    ).dropDuplicates(["fingerprint"])
+    if strategy == "broadcast":
+        cat = F.broadcast(cat)
+    elif strategy == "shuffle_hash":
+        cat = cat.hint("shuffle_hash")
+    elif strategy != "auto":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return staged.join(cat, on="fingerprint", how="left_anti")

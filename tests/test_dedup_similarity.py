@@ -550,3 +550,50 @@ def test_max_bucket_size_caps_hot_template(spark):
         df, "doc_id", max_hamming=3, max_bucket_size=50
     )
     assert {(r["id_a"], r["id_b"]) for r in sh_capped.collect()} == {(100, 101)}
+
+
+def test_dedup_against_catalog(spark):
+    from schema_validator_spark.operators.dedup import (
+        catalog_fingerprints,
+        dedup_against_catalog,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "seen before"), (2, "also  SEEN   before")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),          # exact catalog hit
+            (11, "Seen   BEFORE"),        # normalized catalog hit
+            (12, "genuinely new text"),
+            (13, None),                   # NULL text always survives
+        ],
+        "doc_id long, text string",
+    )
+    cat = catalog_fingerprints(old)
+    assert cat.count() == 2  # the two old docs normalize differently
+    for strategy in ("broadcast", "shuffle_hash", "auto"):
+        out = dedup_against_catalog(new, cat, "doc_id", strategy=strategy)
+        assert {r["doc_id"] for r in out.collect()} == {12, 13}, strategy
+    # survivors carry the fingerprint for catalog append
+    assert "fingerprint" in out.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_against_catalog(new, cat, "doc_id", strategy="sort_merge")
+
+
+def test_dedup_against_catalog_broadcast_plan(spark):
+    from schema_validator_spark.operators.dedup import (
+        catalog_fingerprints,
+        dedup_against_catalog,
+    )
+    from schema_validator_spark.plans.inspect import plan_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    cat = catalog_fingerprints(df)
+    assert plan_stats(dedup_against_catalog(df, cat, "doc_id", strategy="broadcast"))["broadcasts"] == 1
+    shuffle_plan = dedup_against_catalog(
+        df, cat, "doc_id", strategy="shuffle_hash"
+    )._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in shuffle_plan
