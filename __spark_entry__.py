@@ -1566,6 +1566,22 @@ def q_pack_sequences(spark, sf_dir):
     return SAMP.pack_sequences(sized, "doc_id", "n_tok", budget=500, n_streams=8)
 
 
+def q_assemble_sequences(spark, sf_dir):
+    """pack_sequences' bins materialized into actual training sequences:
+    same stream/bin assignment, per-bin id-ordered concat with an ASCII
+    EOS-marker separator (dialect-safe in the oracle)."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sized = df.select(
+        "doc_id",
+        "text",
+        TQ.token_count_whitespace(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    return SAMP.assemble_sequences(
+        sized, "doc_id", "n_tok", "text", budget=500, n_streams=8,
+        sep="<|eot|>",
+    )
+
+
 def q_shard_corpus(spark, sf_dir):
     """Deterministic corpus shuffle into 8 training shards — md5 order is
     the shuffle, so both engines reproduce the exact layout."""
@@ -1615,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "badword_filter": q_badword_filter,
         "dedup_incremental": q_dedup_incremental,
+        "assemble_sequences": q_assemble_sequences,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -3120,6 +3137,32 @@ SELECT lang, count(*) AS docs,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe,
   CAST(sum(strlen(text)) AS BIGINT) AS bytes
 FROM documents WHERE text IS NOT NULL GROUP BY lang
+""",
+        "assemble_sequences": f"""
+WITH d AS (
+  SELECT doc_id, text,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT doc_id, text, n_tok,
+    ({_md5_24bit_sql("CAST(doc_id AS VARCHAR)")} % 8) AS stream
+  FROM d
+),
+c AS (
+  SELECT doc_id, text, n_tok, stream,
+    CAST(coalesce(sum(n_tok) OVER (
+      PARTITION BY stream ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM h
+)
+SELECT stream, CAST(floor(prev / 500) AS BIGINT) AS seq_bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  string_agg(text, '<|eot|>' ORDER BY doc_id) AS seq_text
+FROM c GROUP BY 1, 2
 """,
         "dedup_incremental": f"""
 WITH n AS (

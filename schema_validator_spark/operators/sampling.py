@@ -218,6 +218,58 @@ def pack_sequences(
     )
 
 
+def assemble_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    text_col: str,
+    budget: int,
+    n_streams: int = 32,
+    sep: str = "\n\n",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize ``pack_sequences``' bins into actual training sequences:
+    the same md5-stream binning (identical stream/bin assignment for the
+    same inputs), then each bin's documents concatenated in id order with
+    ``sep`` between them (the EOS-token slot).  Output per bin:
+    (stream, seq_bin, n_docs, n_tokens, seq_text).  Rows with a NULL text
+    are excluded (pack metadata for them is still available from
+    ``pack_sequences``).
+
+    100 TB shape: ONE shuffle of the corpus text — the window partitions by
+    stream, and the per-(stream, bin) aggregation reuses that hash
+    partitioning (stream ⊆ grouping keys), so the text payload moves
+    exactly once.  Per-bin state is bounded by budget/min-doc-tokens docs;
+    the ordered concat sorts only within a bin (array_sort over ≤ that
+    many structs)."""
+    from pyspark.sql import Window
+
+    stream = F.pmod(hash24(F.col(id_col), salt), F.lit(n_streams))
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_i"),
+        F.col(text_col).alias("_t"),
+        stream.alias("stream"),
+        F.col(token_col).cast("bigint").alias("_tok"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("_tok").over(w), F.lit(0))
+    binned = staged.withColumn(
+        "seq_bin", F.floor(prev / F.lit(budget)).cast("bigint")
+    )
+    docs_sorted = F.array_sort(F.collect_list(F.struct("_i", "_t")))
+    return binned.groupBy("stream", "seq_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.array_join(
+            F.transform(docs_sorted, lambda s: s.getField("_t")), sep
+        ).alias("seq_text"),
+    )
+
+
 def shard_corpus(
     df: DataFrame,
     id_col: str,

@@ -254,3 +254,41 @@ def test_shard_corpus_layout(spark):
         if pos[i][0] == pos[i + 1][0] and abs(pos[i][1] - pos[i + 1][1]) == 1
     )
     assert same_shard_adjacent < 30
+
+
+def test_assemble_sequences_matches_pack_and_orders_text(spark):
+    rows = [(i, f"doc{i}", 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tok long")
+    packed = {
+        r["doc_id"]: r
+        for r in sampling.pack_sequences(
+            df, "doc_id", "n_tok", budget=100, n_streams=4
+        ).collect()
+    }
+    out = sampling.assemble_sequences(
+        df, "doc_id", "n_tok", "text", budget=100, n_streams=4, sep="|"
+    ).collect()
+    # every doc's (stream, bin) assignment matches pack_sequences exactly
+    assigned = {}
+    for r in out:
+        for t in r["seq_text"].split("|"):
+            assigned[int(t[3:])] = (r["stream"], r["seq_bin"])
+    assert len(assigned) == 40
+    for i, (stream, seq_bin) in assigned.items():
+        assert packed[i]["stream"] == stream and packed[i]["seq_bin"] == seq_bin
+    # in-bin order is id order; totals add up
+    for r in out:
+        ids = [int(t[3:]) for t in r["seq_text"].split("|")]
+        assert ids == sorted(ids)
+        assert r["n_docs"] == len(ids) and r["n_tokens"] == 30 * len(ids)
+
+
+def test_assemble_sequences_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, text string, n_tok long"
+    )
+    stats = plan_stats(
+        sampling.assemble_sequences(df, "doc_id", "n_tok", "text", budget=10)
+    )
+    # window shuffle only: the (stream, bin) agg reuses hashpartitioning(stream)
+    assert stats["shuffles"] == 1 and stats["python_evals"] == 0
