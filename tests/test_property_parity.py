@@ -283,3 +283,56 @@ def test_normalize_url_byte_parity_with_duckdb(spark, urls):
     )
     want = dict(con.sql(sql).fetchall())
     assert got == want
+
+
+# -- fix_mojibake roundtrip property ------------------------------------------
+
+_MB_ALPHABET = st.sampled_from(
+    list("abc XYZ 09.,!") + list("’“–—…éèêàâäöüçñóúß«»")
+)
+_MB_TEXTS = st.lists(st.text(_MB_ALPHABET, max_size=30), min_size=1, max_size=40)
+
+
+@given(_MB_TEXTS)
+@settings(**_SETTINGS)
+def test_fix_mojibake_roundtrip_property(spark, texts):
+    """For ANY clean string over the repaired alphabet, damaging it with the
+    utf-8-read-as-cp1252 mistake and running fix_mojibake restores it
+    byte-for-byte, and n_artifacts counts exactly the non-ascii chars."""
+    from schema_validator_spark.operators import cleaning
+
+    rows = [
+        (i, t.encode("utf-8").decode("cp1252")) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in cleaning.fix_mojibake(df, "doc_id").collect()
+    }
+    for i, clean in enumerate(texts):
+        assert out[i]["fixed"] == clean
+        assert out[i]["n_artifacts"] == sum(1 for c in clean if ord(c) > 127)
+
+
+# -- split_by_group total-coverage property ------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_split_by_group_covers_and_never_straddles(spark, groups, tenths):
+    """With fractions summing to 1, every row gets a non-NULL split, and all
+    rows of one group land in the same split — for any group population and
+    any train/eval boundary."""
+    from schema_validator_spark.operators import sampling
+
+    frac = tenths / 10.0
+    rows = [(i, f"g{g}") for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = sampling.split_by_group(df, "g", {"train": frac, "eval": 1.0 - frac})
+    got = out.collect()
+    assert all(r["split"] in ("train", "eval") for r in got)
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["g"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
