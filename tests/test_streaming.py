@@ -343,3 +343,18 @@ def test_sessionized_verdicts_stream(spark, tmp_path):
     assert got[(1, "2024-01-01 02:30:00")] == (1, False)
     assert got[(2, "2024-01-01 01:00:00")] == (1, True)
     assert not any(uid == 3 for uid, _ in got)  # unclosed session withheld
+
+
+def test_windowed_drift_single_shuffle_no_python(spark):
+    from schema_validator_spark.plans.inspect import plan_stats
+    from schema_validator_spark.streaming.runner import windowed_drift
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01 00:00:00")], "id long, v double, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    stats = plan_stats(
+        windowed_drift(df, "v", "ts", [0.5, 0.25, 0.25, 0.0], 0.0, 2.0, 2,
+                       watermark=None)
+    )
+    # one window-agg shuffle; counters + PSI fold all JVM-side
+    assert stats["shuffles"] == 1 and stats["python_evals"] == 0
