@@ -1008,6 +1008,14 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric partial-duplicate containment over the planted near-dup
+    substrate: both directions scored from one verified pair set."""
+    return D.containment_pairs(
+        _planted_text_union(spark, sf_dir), "doc_id", n_gram=3, threshold=0.9
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate pairs: every doc
     labelled with the smallest doc_id in its near-dup group."""
@@ -1632,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badword_filter": q_badword_filter,
         "dedup_incremental": q_dedup_incremental,
         "assemble_sequences": q_assemble_sequences,
+        "containment": q_containment,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -2925,6 +2934,28 @@ SELECT doc_id, source, CASE {_split_cases_sql()} END AS split
 FROM (
   SELECT doc_id, source, {_md5_24bit_sql("source")} AS hv FROM documents
 )
+""",
+        "containment": f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT _id, unnest(sh) AS g FROM sh),
+rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 10000),
+exr AS (SELECT _id, g FROM ex JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM exr l JOIN exr r ON l.g = r.g AND l._id < r._id
+),
+s AS (
+  SELECT id_a, id_b,
+    len(list_intersect(a.sh, b.sh)) AS inter_size,
+    len(a.sh) AS a_n, len(b.sh) AS b_n
+  FROM cand JOIN sh a ON a._id = id_a JOIN sh b ON b._id = id_b
+),
+u AS (
+  SELECT id_a, id_b, round(inter_size / a_n::DOUBLE, 6) AS containment FROM s
+  UNION ALL
+  SELECT id_b, id_a, round(inter_size / b_n::DOUBLE, 6) FROM s
+)
+SELECT id_a, id_b, containment FROM u WHERE containment >= 0.9
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

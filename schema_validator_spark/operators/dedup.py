@@ -362,6 +362,26 @@ def ngram_jaccard_pairs(
     hotter than the cap is not a meaningful near-dup.  Pass
     ``max_doc_freq=None`` to disable.  Output: (id_a, id_b, jaccard).
     """
+    sizes = _ngram_pair_overlaps(df, id_col, text_col, n_gram, max_doc_freq)
+    jac = F.col("inter_size") / (
+        F.col("a_n") + F.col("b_n") - F.col("inter_size")
+    )
+    return sizes.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def _ngram_pair_overlaps(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_gram: int,
+    max_doc_freq: "int | None",
+) -> DataFrame:
+    """Shared core of ``ngram_jaccard_pairs`` / ``containment_pairs``:
+    df-capped shingle self-join for candidates, then exact native
+    ``array_intersect`` on the full shingle sets.  Output per candidate
+    pair (id_a < id_b): (id_a, id_b, inter_size, a_n, b_n)."""
     sh = shingled_docs(df, id_col, text_col, n_gram).select(
         "_id", F.col("_shingles").alias("_sh")
     )
@@ -385,9 +405,6 @@ def ngram_jaccard_pairs(
     )
     # exact verification on the candidate set only: intersect the full
     # (distinct) shingle arrays natively — no Python, no re-explode
-    jac = F.col("inter_size") / (
-        F.col("a_n") + F.col("b_n") - F.col("inter_size")
-    )
     return (
         cand.join(
             sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a"
@@ -402,9 +419,50 @@ def ngram_jaccard_pairs(
             F.size("_sha").alias("a_n"),
             F.size("_shb").alias("b_n"),
         )
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC partial-duplicate detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches quotations,
+    boilerplate-wrapped copies and subset pages that symmetric Jaccard
+    structurally misses (a 100-word doc quoted whole inside a 10k-word page
+    has Jaccard ≈ 0.01 but containment 1.0).  Output: (id_a, id_b,
+    containment) where ``containment`` is the fraction of ``id_a``'s
+    shingles present in ``id_b``; BOTH directions of a candidate pair are
+    scored and each emits independently when it clears ``threshold``.
+
+    100 TB shape: candidate generation and exact verification are the
+    ``ngram_jaccard_pairs`` machinery (df-capped shingle join — never
+    all-pairs — and one native ``array_intersect`` per candidate); the two
+    directions come from ONE explode over the already-verified sizes, so
+    the pair set is computed once."""
+    sizes = _ngram_pair_overlaps(df, id_col, text_col, n_gram, max_doc_freq)
+    inter = F.col("inter_size")
+    both = sizes.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.round(inter / F.col("a_n"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.round(inter / F.col("b_n"), 6).alias("containment"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return both.where(F.col("containment") >= threshold)
 
 
 # -- SimHash -------------------------------------------------------------------

@@ -597,3 +597,29 @@ def test_dedup_against_catalog_broadcast_plan(spark):
         df, cat, "doc_id", strategy="shuffle_hash"
     )._jdf.queryExecution().sparkPlan().toString()
     assert "BroadcastHashJoin" not in shuffle_plan
+
+
+def test_containment_asymmetric_subset(spark):
+    from schema_validator_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    # every 3-shingle of the small doc appears in the big doc
+    assert got.get((1, 2)) == 1.0
+    # the reverse direction is far below threshold, and so is Jaccard
+    assert (2, 1) not in got and (3, 2) not in got
+    jac = ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    assert not any(
+        {r["id_a"], r["id_b"]} == {1, 2} for r in jac
+    )  # symmetric Jaccard misses the subset pair containment catches
