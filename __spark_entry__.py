@@ -1641,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "assemble_sequences": q_assemble_sequences,
         "containment": q_containment,
+        "ngram_jaccard": q_ngram_jaccard,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -1697,7 +1698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "sample_stratified": q_sample_stratified,
         "sample_token_budget": q_sample_token_budget,
-        "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         # --- beyond the 50-cap: r03-green + untouched this round; -----
         # --- re-verified locally (see BENCH/ROUNDLOG_r04.md) ----------
