@@ -27,13 +27,20 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     cheap next to the per-row hashing it unlocks.  No-op when the scan is
     already parallel (the normal case at real scale)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # An upstream shuffle/join already implies parallelism (≥
+    # spark.sql.shuffle.partitions), and executing the pre-EnsureRequirements
+    # sparkPlan of such a frame is UNSAFE — a planned broadcast join's build
+    # side has no BroadcastExchange yet, so .execute() throws
+    # "HashAggregate does not implement doExecuteBroadcast" (found by the
+    # pipeline e2e test: dedup chained after quality-gate joins).  Only a
+    # pure scan-stage plan is probed.
+    plan_str = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan_str or "Join" in plan_str:
+        return df
     # Partition count read JVM-side from the NON-adaptive sparkPlan — no
     # Python-RDD conversion, and (unlike the adaptive executedPlan, whose
     # doExecute materializes upstream query stages) guaranteed to run no job
-    # regardless of AQE.  Exact only for scan-stage inputs — every caller
-    # here probes a bare parquet/range scan; do not point this helper at a
-    # DataFrame with upstream shuffles (its pre-EnsureRequirements count
-    # would be a guess, and an upstream shuffle already implies parallelism).
+    # regardless of AQE.  Exact for these scan-stage-only inputs.
     n_parts = df._jdf.queryExecution().sparkPlan().execute().getNumPartitions()
     if n_parts < max(target // 2, 2):
         return df.repartition(target)
