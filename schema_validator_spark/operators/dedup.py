@@ -918,6 +918,11 @@ def dedup_against_catalog(
     switch)."""
     from .textquality import fingerprint_exact
 
+    if "fingerprint" in df.columns:
+        raise ValueError(
+            "dedup_against_catalog attaches a 'fingerprint' column which "
+            "already exists in the input — rename or drop it first"
+        )
     staged = df.withColumn("fingerprint", fingerprint_exact(F.col(text_col)))
     cat = catalog.select(
         F.col(catalog_fp_col).alias("fingerprint")

@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 _HASH_MOD = 1 << 24
 
 
+def _reject_collisions(df: DataFrame, op: str, *names: str) -> None:
+    """Output-column guard: silently overwriting a user column with
+    ``withColumn`` corrupts downstream logic invisibly (the keep_best
+    lesson) — refuse loudly instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op} produces column(s) {clash} which already exist in the "
+            "input — rename or drop them first"
+        )
+
+
 def hash24(key: Column, salt: str = "") -> Column:
     """First 6 hex nibbles of md5(salt|key) as a BIGINT in [0, 2^24) —
     deterministic across engines (DuckDB mirror: nibble arithmetic)."""
@@ -117,6 +129,7 @@ def upsample_mixture(
     100 TB shape: zero shuffle — a pushed drop-stratum filter plus a
     ``sequence``/``explode`` fan-out in one codegen projection; partitioning
     is preserved, and the fan-out is bounded by ``ceil(max(w))`` per row."""
+    _reject_collisions(df, "upsample_mixture", "epoch")
     base = F.lit(0)
     thr = F.lit(0)
     for value, w in sorted(weights.items()):
@@ -153,6 +166,7 @@ def split_by_group(
     100 TB shape: zero shuffle — one chained-threshold projection over the
     24-bit group hash, reproducible across runs/engines, pushable as a scan
     filter when a single split is selected downstream."""
+    _reject_collisions(df, "split_by_group", "split")
     total = 0.0
     expr = None
     for name, frac in fractions.items():
@@ -291,6 +305,7 @@ def shard_corpus(
     and this is also the physical write layout)."""
     from pyspark.sql import Window
 
+    _reject_collisions(df, "shard_corpus", "shard", "shard_pos")
     h = hash24(F.col(id_col), salt)
     staged = df.withColumn("_h", h).withColumn(
         "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("bigint")
@@ -333,6 +348,7 @@ def cap_per_key(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    _reject_collisions(df, "cap_per_key", "key_rank")
     staged = df.withColumn("_h", hash24(F.col(id_col), salt)).withColumn(
         "_salt", F.pmod(F.col("_h"), F.lit(n_salts))
     )

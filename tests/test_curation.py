@@ -292,3 +292,27 @@ def test_assemble_sequences_single_shuffle(spark):
     )
     # window shuffle only: the (stream, bin) agg reuses hashpartitioning(stream)
     assert stats["shuffles"] == 1 and stats["python_evals"] == 0
+
+
+def test_output_column_collisions_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "x", 1)], "doc_id long, lang string, split string, epoch long"
+    )
+    with pytest.raises(ValueError, match="split"):
+        sampling.split_by_group(df, "lang", {"train": 1.0})
+    with pytest.raises(ValueError, match="epoch"):
+        sampling.upsample_mixture(df, "doc_id", "lang", {"en": 1.0})
+    df2 = spark.createDataFrame(
+        [(1, "h", 2, 3)], "doc_id long, host string, shard long, key_rank long"
+    )
+    with pytest.raises(ValueError, match="shard"):
+        sampling.shard_corpus(df2, "doc_id", n_shards=2)
+    with pytest.raises(ValueError, match="key_rank"):
+        sampling.cap_per_key(df2, "host", "doc_id", k=1)
+    from schema_validator_spark.operators.dedup import dedup_against_catalog
+
+    df3 = spark.createDataFrame(
+        [(1, "t", "f")], "doc_id long, text string, fingerprint string"
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        dedup_against_catalog(df3, df3.select("fingerprint"), "doc_id")
