@@ -355,6 +355,7 @@ def ngram_jaccard_pairs(
     n_gram: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 10_000,
+    candidate_sample_mod: "int | None" = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for pairs sharing ≥1 RARE shingle.
 
@@ -368,8 +369,13 @@ def ngram_jaccard_pairs(
     discovered, never their score.  A pair whose every common shingle is
     hotter than the cap is not a meaningful near-dup.  Pass
     ``max_doc_freq=None`` to disable.  Output: (id_a, id_b, jaccard).
+
+    ``candidate_sample_mod=p`` enables mod-p shingle sampling for candidate
+    generation (see ``_ngram_pair_overlaps``) — the 100 TB scale path.
     """
-    sizes = _ngram_pair_overlaps(df, id_col, text_col, n_gram, max_doc_freq)
+    sizes = _ngram_pair_overlaps(
+        df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod
+    )
     jac = F.col("inter_size") / (
         F.col("a_n") + F.col("b_n") - F.col("inter_size")
     )
@@ -384,15 +390,29 @@ def _ngram_pair_overlaps(
     text_col: str,
     n_gram: int,
     max_doc_freq: "int | None",
+    candidate_sample_mod: "int | None" = None,
 ) -> DataFrame:
     """Shared core of ``ngram_jaccard_pairs`` / ``containment_pairs``:
     df-capped shingle self-join for candidates, then exact native
     ``array_intersect`` on the full shingle sets.  Output per candidate
-    pair (id_a < id_b): (id_a, id_b, inter_size, a_n, b_n)."""
+    pair (id_a < id_b): (id_a, id_b, inter_size, a_n, b_n).
+
+    ``candidate_sample_mod=p`` (the 100 TB scale path) generates candidates
+    from only the shingles whose xxhash64 ≡ 0 (mod p).  Selection is
+    deterministic per shingle VALUE, so both members of a pair keep or drop
+    the same shingles — a pair is discovered iff ANY of its m common
+    shingles is selected, P(miss) = (1 − 1/p)^m (< 0.4% for a 20-common-
+    shingle near-dup at p = 4), while the self-join input shrinks p-fold
+    and hot-shingle join cost p²-fold.  Verification is UNAFFECTED — scores
+    of discovered pairs come from the full shingle sets either way."""
     sh = shingled_docs(df, id_col, text_col, n_gram).select(
         "_id", F.col("_shingles").alias("_sh")
     )
     exploded = sh.select("_id", F.explode("_sh").alias("_g"))
+    if candidate_sample_mod is not None and candidate_sample_mod > 1:
+        exploded = exploded.where(
+            F.pmod(F.xxhash64("_g"), F.lit(candidate_sample_mod)) == 0
+        )
     if max_doc_freq is not None:
         rare = (
             exploded.groupBy("_g")
@@ -436,6 +456,7 @@ def containment_pairs(
     n_gram: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int = 10_000,
+    candidate_sample_mod: "int | None" = None,
 ) -> DataFrame:
     """ASYMMETRIC partial-duplicate detection: containment(A in B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches quotations,
@@ -450,8 +471,11 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` machinery (df-capped shingle join — never
     all-pairs — and one native ``array_intersect`` per candidate); the two
     directions come from ONE explode over the already-verified sizes, so
-    the pair set is computed once."""
-    sizes = _ngram_pair_overlaps(df, id_col, text_col, n_gram, max_doc_freq)
+    the pair set is computed once.  ``candidate_sample_mod=p`` enables the
+    mod-p shingle-sampling scale path (see ``_ngram_pair_overlaps``)."""
+    sizes = _ngram_pair_overlaps(
+        df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod
+    )
     inter = F.col("inter_size")
     both = sizes.select(
         F.explode(

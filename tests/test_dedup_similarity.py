@@ -623,3 +623,46 @@ def test_containment_asymmetric_subset(spark):
     assert not any(
         {r["id_a"], r["id_b"]} == {1, 2} for r in jac
     )  # symmetric Jaccard misses the subset pair containment catches
+
+
+def test_mod_p_candidate_sampling_finds_near_dups_exactly(spark):
+    from schema_validator_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i} tok{i} x{i}" for i in range(30))  # ~90 shingles
+    rows = [
+        (1, base),
+        (2, base + " tail one two"),     # near-dup of 1: many common shingles
+        (3, "completely different words here that share nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    }
+    sampled = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.5, candidate_sample_mod=4
+        ).collect()
+    }
+    assert (1, 2) in full
+    # P(miss) = (3/4)^~88 ≈ 1e-11: the near-dup pair survives sampling, and
+    # its score is IDENTICAL (verification uses the full shingle sets)
+    assert sampled.get((1, 2)) == full[(1, 2)]
+    assert set(sampled) <= set(full)  # sampling only ever discovers fewer
+    # same contract for containment
+    c_full = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    c_sampled = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", threshold=0.8, candidate_sample_mod=4
+        ).collect()
+    }
+    assert c_sampled.get((1, 2)) == c_full[(1, 2)] == 1.0
+    assert set(c_sampled) <= set(c_full)
