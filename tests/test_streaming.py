@@ -358,3 +358,50 @@ def test_windowed_drift_single_shuffle_no_python(spark):
     )
     # one window-agg shuffle; counters + PSI fold all JVM-side
     assert stats["shuffles"] == 1 and stats["python_evals"] == 0
+
+
+def test_stream_validate_then_drift_composition(spark, plan, tmp_path):
+    """validate_stream → windowed_drift chained: the live 'violations per
+    document' drift alarm a monitoring pipeline would wire — exercises a
+    streaming plan with the validation projection BELOW the drift agg."""
+    from schema_validator_spark.streaming.runner import (
+        validate_stream,
+        windowed_drift,
+    )
+
+    src = str(tmp_path / "vdsrc")
+    rows = [
+        (i,
+         ("https://ok.example/%d" % i) if i < 50 else "ftp://bad",  # hour 1 all-invalid
+         "long enough text",
+         "2024-01-01 0%d:00:%02d" % (0 if i < 50 else 1, i % 50))
+        for i in range(100)
+    ] + [(200, "https://ok.example/x", "long enough text", "2024-01-01 02:00:00")]
+    df = spark.createDataFrame(rows, "id long, url string, text string, ts string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, url string, text string, ts timestamp"
+    ).parquet(src)
+    validated = validate_stream(plan, stream).select(
+        "ts", F.size("violations").cast("double").alias("n_viol")
+    )
+    # baseline: everything valid (bucket 1 of [0,2)x2 grid = zero violations)
+    drift = windowed_drift(
+        validated, "n_viol", "ts", [0.0, 1.0, 0.0, 0.0], lo=0.0, hi=2.0,
+        nbuckets=2, window_duration="1 hour", watermark="0 seconds",
+    )
+    out = str(tmp_path / "vdout")
+    q = (
+        drift.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "vdchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["window_start"].hour: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1}
+    assert not got[0]["drifted"]  # hour 0: all valid, matches baseline
+    assert got[1]["drifted"]      # hour 1: every doc has a violation
