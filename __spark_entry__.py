@@ -739,6 +739,29 @@ def q_extract_text(spark, sf_dir):
     return docs.select("doc_id", extract_text(html).alias("extracted"))
 
 
+def q_html_stats(spark, sf_dir):
+    """Structural crawl-quality signals (tag counts + text-to-markup ratio)
+    over deterministically synthesized HTML — both engines render the SAME
+    markup per doc (repeat/when arms keyed on doc_id), so every count and
+    the extraction-based ratio is byte-checked."""
+    from schema_validator_spark.sources.webpages import html_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    html_str = F.concat(
+        F.lit("<html><body>"),
+        F.expr("repeat('<h2>H</h2>', cast(doc_id % 3 as int))"),
+        F.expr("repeat('<a href=\\'u\\'>L</a>', cast(doc_id % 4 as int))"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("<script>var x = 1;</script>")
+        ).otherwise(F.lit("")),
+        F.lit("<p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+    h = docs.select("doc_id", F.encode(html_str, "UTF-8").alias("html"))
+    return html_stats(h, "doc_id")
+
+
 def q_windowed_profile(spark, sf_dir):
     """Batch form of streaming.windowed_profile: the SAME aggregation the
     streaming monitor runs (per event-time window null-rate/min/max/distinct),
@@ -1636,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_mixture": q_upsample_mixture,
         "split_by_group": q_split_by_group,
         "windowed_drift": q_windowed_drift,
+        "html_stats": q_html_stats,
         "vocab_topk": q_vocab_topk,
         "badword_filter": q_badword_filter,
         "dedup_incremental": q_dedup_incremental,
@@ -2676,6 +2700,34 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(user_id) AS user_id_count,
   count(DISTINCT user_id) AS user_id_distinct
 FROM events GROUP BY 1
+""",
+        "html_stats": """
+WITH h AS (
+  SELECT doc_id,
+    '<html><body>' || repeat('<h2>H</h2>', CAST(doc_id % 3 AS INT))
+    || repeat('<a href=''u''>L</a>', CAST(doc_id % 4 AS INT))
+    || CASE WHEN doc_id % 2 = 0 THEN '<script>var x = 1;</script>' ELSE '' END
+    || '<p>' || coalesce(text, '') || '</p></body></html>' AS s
+  FROM documents
+),
+x AS (SELECT doc_id, s, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS txt FROM h)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(s, '(?i)<a[ \\t\\n\\r>]')) AS BIGINT) AS n_links,
+  CAST(len(regexp_extract_all(s, '(?i)<h[1-6][ \\t\\n\\r>]')) AS BIGINT) AS n_headers,
+  CAST(len(regexp_extract_all(s, '(?i)<script[ \\t\\n\\r>]')) AS BIGINT) AS n_scripts,
+  CAST(len(regexp_extract_all(s, '(?i)<p[ \\t\\n\\r>]')) AS BIGINT) AS n_paragraphs,
+  CAST(strlen(s) AS BIGINT) AS html_bytes,
+  CAST(length(txt) AS BIGINT) AS text_chars,
+  round(length(txt) / greatest(strlen(s), 1)::DOUBLE, 6) AS text_ratio
+FROM x
 """,
         "windowed_drift": f"""
 WITH src AS (

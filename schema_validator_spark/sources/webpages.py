@@ -100,6 +100,41 @@ def generate_web_pages(
     )
 
 
+def html_stats(df: DataFrame, id_col: str, html_col: str = "html") -> DataFrame:
+    """Structural crawl-quality signals straight off the raw HTML — the
+    jusText/trafilatura-style boilerplate discriminators computed WITHOUT a
+    DOM parser: tag-open counts (links, headers, scripts, paragraphs), raw
+    markup size, extracted-text length, and the text-to-markup ratio
+    (navigation/chrome pages score low; content pages high).  Output:
+    (id, n_links, n_headers, n_scripts, n_paragraphs, html_bytes,
+    text_chars, text_ratio).
+
+    100 TB shape: ONE zero-shuffle codegen projection over the html bytes;
+    every regex is dialect-neutral (case-insensitive tag-opens with an
+    explicit delimiter class, never ``\s``) so an external engine replays
+    the counts exactly.  text_chars reuses ``extract_text``'s byte-checked
+    chain."""
+    raw = F.decode(F.col(html_col), "UTF-8")
+    txt = extract_text(F.col(html_col))
+    html_bytes = F.octet_length(F.col(html_col)).cast("bigint")
+
+    def tag_count(pat: str):
+        return F.regexp_count(raw, F.lit(pat)).cast("bigint")
+
+    return df.select(
+        F.col(id_col),
+        tag_count(r"(?i)<a[ \t\n\r>]").alias("n_links"),
+        tag_count(r"(?i)<h[1-6][ \t\n\r>]").alias("n_headers"),
+        tag_count(r"(?i)<script[ \t\n\r>]").alias("n_scripts"),
+        tag_count(r"(?i)<p[ \t\n\r>]").alias("n_paragraphs"),
+        html_bytes.alias("html_bytes"),
+        F.length(txt).cast("bigint").alias("text_chars"),
+        F.round(
+            F.length(txt) / F.greatest(html_bytes, F.lit(1)), 6
+        ).alias("text_ratio"),
+    )
+
+
 def extract_text(html):
     """Extracted text from a raw ``html`` binary column — the north-rule
     per-row invariant ("byte-identical extracted text per url") made an

@@ -289,3 +289,34 @@ def test_normalize_url_dedups_crawl_variants(spark):
     df = spark.createDataFrame([(v,) for v in variants], "url string")
     n = df.select(webpages.normalize_url(F.col("url")).alias("k")).distinct().count()
     assert n == 1
+
+
+def test_html_stats_counts_and_ratio(spark):
+    from schema_validator_spark.sources.webpages import html_stats
+
+    html = (
+        '<html><body><h1>T</h1><h2>s</h2>'
+        '<a href="x">one</a><A HREF="y">two</A>'
+        '<p>some body text here</p><p>more</p>'
+        '<script>var x;</script></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(html, "utf-8"))], "doc_id long, html binary"
+    )
+    r = html_stats(df, "doc_id").collect()[0]
+    assert r["n_links"] == 2        # case-insensitive
+    assert r["n_headers"] == 2
+    assert r["n_scripts"] == 1
+    assert r["n_paragraphs"] == 2
+    assert r["html_bytes"] == len(html.encode())
+    assert r["text_chars"] == len("T s one two some body text here more")
+    assert 0 < r["text_ratio"] < 1
+
+
+def test_html_stats_zero_shuffle(spark):
+    from schema_validator_spark.plans.inspect import plan_stats
+    from schema_validator_spark.sources.webpages import html_stats
+
+    df = spark.createDataFrame([(1, bytearray(b"<p>x</p>"))], "doc_id long, html binary")
+    stats = plan_stats(html_stats(df, "doc_id"))
+    assert stats["shuffles"] == 0 and stats["python_evals"] == 0
