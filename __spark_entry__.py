@@ -762,6 +762,13 @@ def q_html_stats(spark, sf_dir):
     return html_stats(h, "doc_id")
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier gate on n_chars: integer data makes the exact
+    percentile interpolation land on binary-exact quarters, so fences and
+    counts are bit-reproducible in DuckDB (quantile_cont same formula)."""
+    return ST.iqr_outliers(_t(spark, sf_dir, "documents"), "n_chars")
+
+
 def q_windowed_profile(spark, sf_dir):
     """Batch form of streaming.windowed_profile: the SAME aggregation the
     streaming monitor runs (per event-time window null-rate/min/max/distinct),
@@ -1660,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_group": q_split_by_group,
         "windowed_drift": q_windowed_drift,
         "html_stats": q_html_stats,
+        "iqr_outliers": q_iqr_outliers,
         "vocab_topk": q_vocab_topk,
         "badword_filter": q_badword_filter,
         "dedup_incremental": q_dedup_incremental,
@@ -2700,6 +2708,27 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(user_id) AS user_id_count,
   count(DISTINCT user_id) AS user_id_distinct
 FROM events GROUP BY 1
+""",
+        "iqr_outliers": """
+WITH src AS (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL),
+q AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM src
+),
+f AS (
+  SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT 'n_chars' AS col_name, q1, q3, lo AS lo_fence, hi AS hi_fence,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum((n_chars < lo)::BIGINT), 0) AS BIGINT) AS n_low,
+  CAST(coalesce(sum((n_chars > hi)::BIGINT), 0) AS BIGINT) AS n_high,
+  round((coalesce(sum((n_chars < lo)::BIGINT), 0)
+         + coalesce(sum((n_chars > hi)::BIGINT), 0))
+        / greatest(count(*), 1)::DOUBLE, 6) AS outlier_rate
+FROM src, f
+GROUP BY q1, q3, lo, hi
 """,
         "html_stats": """
 WITH h AS (

@@ -97,3 +97,71 @@ def approx_quantiles(
 ) -> list[float]:
     """KLL-style quantile sketch via percentile_approx (single pass)."""
     return df.approxQuantile(column, list(probabilities), rel_err)
+
+
+def iqr_outliers(
+    df: DataFrame,
+    column: str,
+    k: float = 1.5,
+    exact: bool = True,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Tukey-fence outlier diagnostic — the numeric data-quality gate that
+    catches corrupted feeds (unit changes, sentinel values, truncation) that
+    min/max and null-rate miss.  q1/q3 of the column, fences
+    q1 − k·IQR / q3 + k·IQR, and the row counts beyond each fence.
+    Output (1 row): (col_name, q1, q3, lo_fence, hi_fence, n_rows, n_low,
+    n_high, outlier_rate).  NULLs are excluded.
+
+    ``exact=True`` uses the exact ``percentile`` aggregate — on integer
+    columns the linear interpolation lands on binary-exact quarters, so the
+    fences and counts are bit-reproducible by any engine (the oracle path).
+    ``exact=False`` swaps in ``percentile_approx`` (one sketch pass) — the
+    100 TB default, where an exact percentile's full sort is not worth a
+    diagnostic.
+
+    Scale shape: TWO aggregations (the fences must be literals before the
+    count pass) — each map-side combined, each shipping O(1) state; no
+    shuffle of the data itself."""
+    col = F.col(column)
+    src = df.where(col.isNotNull())
+    if exact:
+        qs = src.agg(
+            F.percentile(col, 0.25).alias("q1"),
+            F.percentile(col, 0.75).alias("q3"),
+        ).first()
+    else:
+        qs = src.agg(
+            F.percentile_approx(col, 0.25, int(1.0 / rel_err)).alias("q1"),
+            F.percentile_approx(col, 0.75, int(1.0 / rel_err)).alias("q3"),
+        ).first()
+    if qs["q1"] is None:
+        q1 = q3 = lo = hi = None
+    else:
+        q1, q3 = float(qs["q1"]), float(qs["q3"])
+        iqr = q3 - q1
+        lo, hi = q1 - k * iqr, q3 + k * iqr
+    counts = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum((col < F.lit(lo)).cast("long")), F.lit(0)
+        ).alias("n_low"),
+        F.coalesce(
+            F.sum((col > F.lit(hi)).cast("long")), F.lit(0)
+        ).alias("n_high"),
+    )
+    return counts.select(
+        F.lit(column).alias("col_name"),
+        F.lit(q1).cast("double").alias("q1"),
+        F.lit(q3).cast("double").alias("q3"),
+        F.lit(lo).cast("double").alias("lo_fence"),
+        F.lit(hi).cast("double").alias("hi_fence"),
+        "n_rows",
+        "n_low",
+        "n_high",
+        F.round(
+            (F.col("n_low") + F.col("n_high"))
+            / F.greatest(F.col("n_rows"), F.lit(1)),
+            6,
+        ).alias("outlier_rate"),
+    )

@@ -345,3 +345,22 @@ def test_vocab_topk_take_ordered_plan(spark):
     plan = vocab_topk(df, "doc_id", k=5)._jdf.queryExecution().sparkPlan().toString()
     # top-k must be a per-partition heap merge, not a global sort shuffle
     assert "TakeOrderedAndProject" in plan
+
+
+def test_iqr_outliers(spark):
+    # 1..100 plus two wild sentinels
+    rows = [(i, i % 100 + 1) for i in range(100)] + [(1000, 10_000), (1001, -500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    r = stats.iqr_outliers(df, "v").collect()[0]
+    # quartiles of 1..100,10000,-500 sorted: exact quarters
+    assert r["q1"] < r["q3"] and r["lo_fence"] < r["q1"]
+    assert r["n_rows"] == 102
+    assert r["n_high"] == 1 and r["n_low"] == 1  # the two sentinels
+    assert abs(r["outlier_rate"] - round(2 / 102, 6)) < 1e-9
+    # approx path runs and returns the same shape
+    ra = stats.iqr_outliers(df, "v", exact=False).collect()[0]
+    assert ra["n_rows"] == 102 and ra["n_high"] >= 1
+    # all-NULL column -> zero counts, NULL fences
+    dn = spark.createDataFrame([(1, None)], "id long, v double")
+    rn = stats.iqr_outliers(dn, "v").collect()[0]
+    assert rn["n_rows"] == 0 and rn["q1"] is None and rn["n_low"] == 0
