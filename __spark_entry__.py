@@ -769,6 +769,12 @@ def q_iqr_outliers(spark, sf_dir):
     return ST.iqr_outliers(_t(spark, sf_dir, "documents"), "n_chars")
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit on n_chars — digit from the decimal string
+    (engine-exact), expected_p literals shared between both sides."""
+    return ST.benford_check(_t(spark, sf_dir, "documents"), "n_chars")
+
+
 def q_windowed_profile(spark, sf_dir):
     """Batch form of streaming.windowed_profile: the SAME aggregation the
     streaming monitor runs (per event-time window null-rate/min/max/distinct),
@@ -1668,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "html_stats": q_html_stats,
         "iqr_outliers": q_iqr_outliers,
+        "benford": q_benford,
         "vocab_topk": q_vocab_topk,
         "badword_filter": q_badword_filter,
         "dedup_incremental": q_dedup_incremental,
@@ -2708,6 +2715,19 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(user_id) AS user_id_count,
   count(DISTINCT user_id) AS user_id_distinct
 FROM events GROUP BY 1
+""",
+        "benford": """
+WITH src AS (
+  SELECT substring(CAST(CAST(n_chars AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+c AS (SELECT digit, count(*) AS n FROM src GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  round(n / t.tot, 6) AS observed_p,
+  CASE digit WHEN '1' THEN 0.3010299956639812 WHEN '2' THEN 0.17609125905568124 WHEN '3' THEN 0.12493873660829992 WHEN '4' THEN 0.09691001300805642 WHEN '5' THEN 0.07918124604762482 WHEN '6' THEN 0.06694678963061322 WHEN '7' THEN 0.05799194697768673 WHEN '8' THEN 0.05115252244738129 WHEN '9' THEN 0.04575749056067514 END AS expected_p,
+  round(abs(n / t.tot - CASE digit WHEN '1' THEN 0.3010299956639812 WHEN '2' THEN 0.17609125905568124 WHEN '3' THEN 0.12493873660829992 WHEN '4' THEN 0.09691001300805642 WHEN '5' THEN 0.07918124604762482 WHEN '6' THEN 0.06694678963061322 WHEN '7' THEN 0.05799194697768673 WHEN '8' THEN 0.05115252244738129 WHEN '9' THEN 0.04575749056067514 END), 6) AS deviation
+FROM c, t
 """,
         "iqr_outliers": """
 WITH src AS (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL),

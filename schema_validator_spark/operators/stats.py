@@ -165,3 +165,48 @@ def iqr_outliers(
             6,
         ).alias("outlier_rate"),
     )
+
+
+#: Benford's-law expected first-digit probabilities log10(1 + 1/d) — Python
+#: doubles embedded as literals on BOTH engine sides, so the comparison
+#: arithmetic is identical.
+import math as _math
+
+BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_check(df: DataFrame, column: str) -> DataFrame:
+    """Benford's-law first-digit audit for a positive numeric column — the
+    classic detector for fabricated, truncated, or unit-corrupted numeric
+    feeds (natural multi-scale quantities follow log10(1+1/d); sentinel
+    floods and capped values do not).  Output: 9 rows (digit, n,
+    observed_p, expected_p, deviation), NULL and non-positive values
+    excluded.  The first digit comes from the decimal string rendering
+    (exact on every engine — no log10 float boundary at powers of ten).
+
+    100 TB shape: ONE map-side-combined aggregation to ≤ 9 digit counts;
+    the share/deviation math runs in a 9-row projection (a tiny window
+    computes the total — never a second scan)."""
+    from pyspark.sql import Window
+
+    digit = F.substring(F.col(column).cast("bigint").cast("string"), 1, 1)
+    src = df.where(F.col(column).isNotNull() & (F.col(column) > 0))
+    counts = src.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == str(d), F.lit(BENFORD_P[d])
+        ).otherwise(expected)
+    obs = F.col("n") / total
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(obs, 6).alias("observed_p"),
+        expected.alias("expected_p"),
+        F.round(F.abs(obs - expected), 6).alias("deviation"),
+    )

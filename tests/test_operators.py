@@ -364,3 +364,21 @@ def test_iqr_outliers(spark):
     dn = spark.createDataFrame([(1, None)], "id long, v double")
     rn = stats.iqr_outliers(dn, "v").collect()[0]
     assert rn["n_rows"] == 0 and rn["q1"] is None and rn["n_low"] == 0
+
+
+def test_benford_check(spark):
+    import math
+
+    # 1..9999 follows Benford-ish leading digits closely enough to sanity-
+    # check shares; negatives/NULLs/zeros excluded
+    rows = [(i, i) for i in range(1, 10000)] + [(100000, -5), (100001, None), (100002, 0)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {r["digit"]: r for r in stats.benford_check(df, "v").collect()}
+    assert set(out) == {str(d) for d in range(1, 10)}
+    assert sum(r["n"] for r in out.values()) == 9999
+    # expected_p literals are the Benford values
+    for d in range(1, 10):
+        assert abs(out[str(d)]["expected_p"] - math.log10(1 + 1 / d)) < 1e-12
+    # uniform-ish 1..9999 has each digit ~1111/9999
+    assert abs(out["9"]["observed_p"] - 1111 / 9999) < 1e-3
+    assert out["1"]["deviation"] > 0
