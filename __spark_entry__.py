@@ -775,6 +775,12 @@ def q_benford(spark, sf_dir):
     return ST.benford_check(_t(spark, sf_dir, "documents"), "n_chars")
 
 
+def q_entropy(spark, sf_dir):
+    """Shannon-entropy audit of the lang column — H = ln N − (Σ n·ln n)/N
+    folded from one distributive pass; identical algebra in DuckDB."""
+    return ST.categorical_entropy(_t(spark, sf_dir, "documents"), "lang")
+
+
 def q_windowed_profile(spark, sf_dir):
     """Batch form of streaming.windowed_profile: the SAME aggregation the
     streaming monitor runs (per event-time window null-rate/min/max/distinct),
@@ -1675,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_stats": q_html_stats,
         "iqr_outliers": q_iqr_outliers,
         "benford": q_benford,
+        "entropy": q_entropy,
         "vocab_topk": q_vocab_topk,
         "badword_filter": q_badword_filter,
         "dedup_incremental": q_dedup_incremental,
@@ -2715,6 +2722,27 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
   count(user_id) AS user_id_count,
   count(DISTINCT user_id) AS user_id_distinct
 FROM events GROUP BY 1
+""",
+        "entropy": """
+WITH c AS (
+  SELECT lang AS v, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+a AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         coalesce(sum(n * ln(n::DOUBLE)), 0.0) AS sum_nlogn
+  FROM c
+)
+SELECT 'lang' AS col_name, n_rows, n_categories,
+  CASE WHEN n_rows > 0
+       THEN round(ln(n_rows::DOUBLE) - sum_nlogn / n_rows::DOUBLE, 6) END
+    AS entropy,
+  CASE WHEN n_categories > 1
+       THEN round((ln(n_rows::DOUBLE) - sum_nlogn / n_rows::DOUBLE)
+                  / ln(n_categories::DOUBLE), 6) END
+    AS normalized_entropy
+FROM a
 """,
         "benford": """
 WITH src AS (

@@ -210,3 +210,48 @@ def benford_check(df: DataFrame, column: str) -> DataFrame:
         expected.alias("expected_p"),
         F.round(F.abs(obs - expected), 6).alias("deviation"),
     )
+
+
+def categorical_entropy(df: DataFrame, column: str) -> DataFrame:
+    """Shannon entropy audit for an enum-ish column — the collapsed-feed
+    detector: a language/source/status column whose entropy drops toward 0
+    has degenerated to a constant (upstream default flooding), and one
+    whose normalized entropy jumps toward 1 has lost its skew (id leakage
+    into a category field).  Output (1 row): (col_name, n_rows,
+    n_categories, entropy, normalized_entropy) with natural-log entropy and
+    ``entropy / ln(n_categories)`` ∈ [0, 1] (NULL when one category).
+    NULLs are excluded (their share is the profiler's null-rate signal).
+
+    100 TB shape: ONE map-side-combined category-count aggregation, then
+    the entropy fold over the (bounded, enum-sized) count rows in a second
+    tiny aggregation — the column's raw values never shuffle.  Intended for
+    enum-cardinality columns; a high-cardinality column's count table is
+    itself large (use ``approx_count_distinct`` in the profile first)."""
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = counts.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        # -Σ n·ln(n) computed distributively; entropy folds from the two
+        # sums: H = ln(N) − (Σ n·ln n)/N  (exact algebra, one pass)
+        F.coalesce(
+            F.sum(F.col("_n") * F.log(F.col("_n").cast("double"))), F.lit(0.0)
+        ).alias("_sum_nlogn"),
+    )
+    n = F.col("n_rows").cast("double")
+    h = F.when(
+        F.col("n_rows") > 0, F.log(n) - F.col("_sum_nlogn") / n
+    ).otherwise(F.lit(None))
+    hmax = F.log(F.col("n_categories").cast("double"))
+    return agg.select(
+        F.lit(column).alias("col_name"),
+        "n_rows",
+        "n_categories",
+        F.round(h, 6).alias("entropy"),
+        F.when(F.col("n_categories") > 1, F.round(h / hmax, 6)).alias(
+            "normalized_entropy"
+        ),
+    )

@@ -382,3 +382,23 @@ def test_benford_check(spark):
     # uniform-ish 1..9999 has each digit ~1111/9999
     assert abs(out["9"]["observed_p"] - 1111 / 9999) < 1e-3
     assert out["1"]["deviation"] > 0
+
+
+def test_categorical_entropy(spark):
+    import math
+
+    # 4 equally likely categories -> H = ln 4, normalized 1.0
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    r = stats.categorical_entropy(df, "cat").collect()[0]
+    assert r["n_rows"] == 400 and r["n_categories"] == 4
+    assert abs(r["entropy"] - math.log(4)) < 1e-6
+    assert abs(r["normalized_entropy"] - 1.0) < 1e-6
+    # constant column -> entropy 0, normalized NULL (one category)
+    dc = spark.createDataFrame([(i, "x") for i in range(10)], "id long, cat string")
+    rc = stats.categorical_entropy(dc, "cat").collect()[0]
+    assert rc["entropy"] == 0.0 and rc["normalized_entropy"] is None
+    # all NULL -> zero rows, NULL entropy
+    dn = spark.createDataFrame([(1, None)], "id long, cat string")
+    rn = stats.categorical_entropy(dn, "cat").collect()[0]
+    assert rn["n_rows"] == 0 and rn["entropy"] is None
