@@ -114,9 +114,12 @@ def html_stats(df: DataFrame, id_col: str, html_col: str = "html") -> DataFrame:
     explicit delimiter class, never ``\s``) so an external engine replays
     the counts exactly.  text_chars reuses ``extract_text``'s byte-checked
     chain."""
-    raw = F.decode(F.col(html_col), "UTF-8")
-    txt = extract_text(F.col(html_col))
-    html_bytes = F.octet_length(F.col(html_col)).cast("bigint")
+    # NULL html (fetch failure rows) must report zeros, not NULL counts
+    raw = F.coalesce(F.decode(F.col(html_col), "UTF-8"), F.lit(""))
+    txt = F.coalesce(extract_text(F.col(html_col)), F.lit(""))
+    html_bytes = F.coalesce(
+        F.octet_length(F.col(html_col)), F.lit(0)
+    ).cast("bigint")
 
     def tag_count(pat: str):
         return F.regexp_count(raw, F.lit(pat)).cast("bigint")

@@ -320,3 +320,13 @@ def test_html_stats_zero_shuffle(spark):
     df = spark.createDataFrame([(1, bytearray(b"<p>x</p>"))], "doc_id long, html binary")
     stats = plan_stats(html_stats(df, "doc_id"))
     assert stats["shuffles"] == 0 and stats["python_evals"] == 0
+
+
+def test_html_stats_null_html_is_zero_not_null(spark):
+    from schema_validator_spark.sources.webpages import html_stats
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, html binary")
+    r = html_stats(df, "doc_id").collect()[0]
+    assert r["n_links"] == 0 and r["n_paragraphs"] == 0
+    assert r["html_bytes"] == 0 and r["text_chars"] == 0
+    assert r["text_ratio"] == 0.0
