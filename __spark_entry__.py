@@ -2746,7 +2746,9 @@ FROM a
 """,
         "benford": """
 WITH src AS (
-  SELECT substring(CAST(CAST(n_chars AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  -- first SIGNIFICANT digit of the rendering (mirrors stats.benford_check:
+  -- regexp over the string, never an integer cast)
+  SELECT regexp_extract(CAST(n_chars AS VARCHAR), '[1-9]') AS digit
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 ),
 c AS (SELECT digit, count(*) AS n FROM src GROUP BY digit),
@@ -2768,15 +2770,16 @@ f AS (
   SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
   FROM q
 )
-SELECT 'n_chars' AS col_name, q1, q3, lo AS lo_fence, hi AS hi_fence,
-  CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(coalesce(sum((n_chars < lo)::BIGINT), 0) AS BIGINT) AS n_low,
-  CAST(coalesce(sum((n_chars > hi)::BIGINT), 0) AS BIGINT) AS n_high,
-  round((coalesce(sum((n_chars < lo)::BIGINT), 0)
-         + coalesce(sum((n_chars > hi)::BIGINT), 0))
-        / greatest(count(*), 1)::DOUBLE, 6) AS outlier_rate
-FROM src, f
-GROUP BY q1, q3, lo, hi
+SELECT 'n_chars' AS col_name,
+  max(f.q1) AS q1, max(f.q3) AS q3,
+  max(f.lo) AS lo_fence, max(f.hi) AS hi_fence,
+  CAST(count(src.n_chars) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum((src.n_chars < f.lo)::BIGINT), 0) AS BIGINT) AS n_low,
+  CAST(coalesce(sum((src.n_chars > f.hi)::BIGINT), 0) AS BIGINT) AS n_high,
+  round((coalesce(sum((src.n_chars < f.lo)::BIGINT), 0)
+         + coalesce(sum((src.n_chars > f.hi)::BIGINT), 0))
+        / greatest(count(src.n_chars), 1)::DOUBLE, 6) AS outlier_rate
+FROM f LEFT JOIN src ON TRUE
 """,
         "html_stats": """
 WITH h AS (

@@ -139,7 +139,12 @@ def upsample_mixture(
         is_v = F.col(strata_col) == value
         base = F.when(is_v, F.lit(int(w))).otherwise(base)
         thr = F.when(is_v, F.lit(int((w - int(w)) * _HASH_MOD))).otherwise(thr)
-    n_copies = base + (hash24(F.col(id_col), salt) < thr).cast("int")
+    # coalesce: a NULL id must still yield floor(w) deterministic copies
+    # (NULL hash would NULL the whole count and silently drop the row,
+    # diverging from the CASE...ELSE 0 shape every SQL engine writes).
+    n_copies = base + F.coalesce(
+        (hash24(F.col(id_col), salt) < thr).cast("int"), F.lit(0)
+    )
     staged = df.withColumn("_n_copies", n_copies).where(F.col("_n_copies") >= 1)
     exploded = staged.withColumn(
         "epoch", F.explode(F.sequence(F.lit(1), F.col("_n_copies")))

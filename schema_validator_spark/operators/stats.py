@@ -181,15 +181,24 @@ def benford_check(df: DataFrame, column: str) -> DataFrame:
     feeds (natural multi-scale quantities follow log10(1+1/d); sentinel
     floods and capped values do not).  Output: 9 rows (digit, n,
     observed_p, expected_p, deviation), NULL and non-positive values
-    excluded.  The first digit comes from the decimal string rendering
-    (exact on every engine — no log10 float boundary at powers of ten).
+    excluded.  The first digit is the first SIGNIFICANT digit of the
+    decimal string rendering — the first ``[1-9]`` character — so
+    fractional values in (0, 1) report their leading significant digit
+    (0.00123 → '1') instead of a spurious truncated-to-zero row, and the
+    extraction is exact on every engine (no log10 float boundary at powers
+    of ten, no engine-specific integer-cast rounding).
 
     100 TB shape: ONE map-side-combined aggregation to ≤ 9 digit counts;
     the share/deviation math runs in a 9-row projection (a tiny window
     computes the total — never a second scan)."""
     from pyspark.sql import Window
 
-    digit = F.substring(F.col(column).cast("bigint").cast("string"), 1, 1)
+    # First significant digit from the value's own string rendering: a
+    # bigint cast would truncate (0, 1) values to digit '0' (NULL
+    # expected_p, a 10th row) and Spark's truncating double→bigint cast
+    # diverges from round-half-away engines.  Any positive value's
+    # rendering contains a nonzero digit, so the extract never misses.
+    digit = F.regexp_extract(F.col(column).cast("string"), "[1-9]", 0)
     src = df.where(F.col(column).isNotNull() & (F.col(column) > 0))
     counts = src.groupBy(digit.alias("digit")).agg(
         F.count(F.lit(1)).alias("n")

@@ -193,6 +193,19 @@ def test_upsample_mixture_rejects_negative_weight(spark):
         sampling.upsample_mixture(df, "doc_id", "lang", {"en": -1.0})
 
 
+def test_upsample_mixture_null_id_keeps_floor_copies(spark):
+    # ADVICE r4: a NULL id must still get floor(w) deterministic copies
+    # (the fractional-copy hash term coalesces to 0, matching the
+    # CASE...ELSE 0 oracle shape) — not be silently dropped by NULL math.
+    rows = [(None, "en"), (1, "en"), (None, "de")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.upsample_mixture(df, "doc_id", "lang", {"en": 2.5, "de": 0.5})
+    got = [(r["doc_id"], r["lang"], r["epoch"]) for r in out.collect()]
+    # NULL en id: exactly floor(2.5)=2 copies; NULL de id: floor(0.5)=0 -> dropped
+    assert sorted(e for d, l, e in got if d is None and l == "en") == [1, 2]
+    assert all(l != "de" or d is not None for d, l, e in got)
+
+
 def test_split_by_group_no_group_straddles(spark):
     rows = [(i, f"host{i % 40}") for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id long, host string")

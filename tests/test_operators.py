@@ -384,6 +384,26 @@ def test_benford_check(spark):
     assert out["1"]["deviation"] > 0
 
 
+def test_benford_check_fractional_values(spark):
+    # values in (0, 1) must report their first SIGNIFICANT digit, never a
+    # spurious '0' row with NULL expected_p (ADVICE r4: bigint cast
+    # truncated them)
+    rows = [
+        (1, 0.00123),  # -> '1'
+        (2, 0.5),      # -> '5'
+        (3, 0.987),    # -> '9'
+        (4, 123.4),    # -> '1'
+        (5, 7.0),      # -> '7'
+        (6, 1e-7),     # sci-notation rendering, still -> '1'
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["digit"]: r["n"] for r in stats.benford_check(df, "v").collect()}
+    assert out == {"1": 3, "5": 1, "7": 1, "9": 1}
+    # every emitted row carries a real expected_p (digit is always 1..9)
+    for r in stats.benford_check(df, "v").collect():
+        assert r["expected_p"] is not None
+
+
 def test_categorical_entropy(spark):
     import math
 
