@@ -1605,6 +1605,21 @@ def q_quality_classifier(spark, sf_dir):
     return TQ.quality_classifier(df, "doc_id", seed="qc", threshold=0.0)
 
 
+def q_quality_classifier_table(spark, sf_dir):
+    """quality_classifier with a TRAINED weight TABLE (VERDICT r4 #2): a
+    seeded 4096-bucket (bucket, weight) DataFrame broadcast-joined onto the
+    hashed features — integer-valued double weights so the per-doc double
+    sum is associative and bit-identical in DuckDB."""
+    df = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 17 % 201) - 100).cast("double").alias("weight"),
+    )
+    return TQ.quality_classifier(
+        df, "doc_id", seed="qct", threshold=0.0, weights=w, n_buckets=4096
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing: whitespace token counts, 8 hash
     streams, budget 500 — all-integer cumsum binning."""
@@ -1671,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 1: touched in round 4 -------------------------------
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_classifier": q_quality_classifier,
+        "quality_classifier_table": q_quality_classifier_table,
         "pack_sequences": q_pack_sequences,
         "cap_per_key": q_cap_per_key,
         "shard_corpus": q_shard_corpus,
@@ -2193,6 +2209,49 @@ sc AS (
     coalesce(a.raw_score, 0) AS raw_score,
     CASE WHEN coalesce(a.n_features, 0) = 0 THEN 0.0
          ELSE round(a.raw_score / (1000.0 * a.n_features), 6) END AS score
+  FROM d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_features, raw_score, score, score >= 0.0 AS q_pass FROM sc
+""",
+        "quality_classifier_table": f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_TEXT} AS t FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS ws
+  FROM d
+),
+f AS (
+  SELECT doc_id, list_concat(ws,
+    CASE WHEN len(ws) >= 2
+      THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]
+      ELSE []::VARCHAR[] END) AS fs
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(fs) AS g FROM f),
+wtab AS (
+  SELECT b AS bucket, CAST((b * 17) % 201 - 100 AS DOUBLE) AS weight
+  FROM (SELECT unnest(generate_series(0, 4095)) AS b)
+),
+bk AS (
+  SELECT doc_id, ({_md5_60bit_sql("'qct|' || g")} % 4096) AS bucket FROM ex
+),
+wt AS (
+  SELECT doc_id, coalesce(wtab.weight, 0.0) AS wv
+  FROM bk LEFT JOIN wtab USING (bucket)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+    CAST(sum(wv) AS DOUBLE) AS raw_score
+  FROM wt GROUP BY doc_id
+),
+sc AS (
+  SELECT d.doc_id,
+    coalesce(a.n_features, 0) AS n_features,
+    coalesce(a.raw_score, 0.0) AS raw_score,
+    CASE WHEN coalesce(a.n_features, 0) = 0 THEN 0.0
+         ELSE round(a.raw_score / a.n_features, 6) END AS score
   FROM d LEFT JOIN agg a USING (doc_id)
 )
 SELECT doc_id, n_features, raw_score, score, score >= 0.0 AS q_pass FROM sc

@@ -126,6 +126,25 @@ def hashed_feature_weight(
     return (F.pmod(h, F.lit(2001)) - F.lit(1000)).cast("bigint")
 
 
+def hashed_feature_bucket(
+    feature: Column, seed: str, n_buckets: int, hash_fn: str = "md5"
+) -> Column:
+    """Hashing-trick bucket id in [0, n_buckets) for a text feature — the
+    key a trained fastText/linear model's exported weight table is joined
+    on.  Same two hash families as ``hashed_feature_weight``; the md5
+    family is replayable by any engine (DuckDB mirror: 15-nibble conv then
+    ``% n_buckets``)."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
+        ).cast("bigint")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.concat(F.lit(seed + "|"), feature))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    return F.pmod(h, F.lit(int(n_buckets))).cast("bigint")
+
+
 def quality_classifier(
     df: DataFrame,
     id_col: str,
@@ -133,6 +152,11 @@ def quality_classifier(
     seed: str = "qc",
     threshold: float = 0.0,
     hash_fn: str = "md5",
+    weights: "DataFrame | None" = None,
+    weight_bucket_col: str = "bucket",
+    weight_col: str = "weight",
+    n_buckets: int = 1 << 20,
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed word features:
     ``score = Σ w[h(f)] / (1000 · n_features) ∈ [-1, 1]`` with features =
@@ -140,11 +164,23 @@ def quality_classifier(
     Output: (id, n_features, raw_score, score, q_pass).
 
     This is the model-scoring step of a training-data pipeline (CCNet's
-    quality LM / fastText filters in public recipes); the weights here are
-    seeded (``hashed_feature_weight``), so the *scoring plumbing* —
-    normalize → n-gram → hash → weight → per-doc reduce — is the real,
-    scale-tested artifact, and swapping in trained weights is a broadcast
-    join on the hash bucket.
+    quality LM / fastText filters in public recipes).  Two weight sources:
+
+    * ``weights=None`` (default): seeded ``hashed_feature_weight`` integer
+      weights — the deterministic, every-engine-replayable family (the
+      oracle substrate).  ``raw_score`` is an exact BIGINT sum and
+      ``score = raw_score / (1000 · n_features)``.
+    * ``weights=DataFrame(bucket, weight)``: a TRAINED weight table (e.g. a
+      fastText export hashed into ``n_buckets`` buckets).  Features map to
+      ``hashed_feature_bucket(f, seed, n_buckets, hash_fn)`` and the table
+      joins on that bucket — ``broadcast_weights=True`` broadcasts it (a
+      model export is ≤ millions of rows — always broadcastable), else a
+      ``shuffle_hash`` hint keeps giant tables from sort-merge planning.
+      Unmatched buckets weigh 0.0 (an untrained bucket is a no-op, the
+      fastText convention).  ``raw_score`` is a DOUBLE sum and
+      ``score = raw_score / n_features`` (mean bucket weight).  Weight
+      tables with integer-valued weights stay bit-exact across engines
+      (double addition of integers < 2^53 is associative).
 
     Scale shape (the minhash-signature pattern, CLAUDE.md): the normalized
     string and the word array are each materialized in their OWN projection
@@ -182,18 +218,47 @@ def quality_classifier(
     ).otherwise(F.array().cast("array<string>"))
     feats = words.select(id_col, F.concat(w, bigrams).alias("_feats"))
     exploded = feats.select(id_col, F.explode_outer("_feats").alias("_f"))
-    weighted = exploded.select(
-        id_col, "_f", hashed_feature_weight(F.col("_f"), seed, hash_fn).alias("_w")
-    )
-    agg = weighted.groupBy(id_col).agg(
-        F.count("_f").alias("n_features"),
-        F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("raw_score"),
-    )
-    score = F.when(F.col("n_features") == 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.col("raw_score") / (F.lit(1000.0) * F.col("n_features")), 6
+    if weights is None:
+        weighted = exploded.select(
+            id_col,
+            "_f",
+            hashed_feature_weight(F.col("_f"), seed, hash_fn).alias("_w"),
         )
-    )
+        agg = weighted.groupBy(id_col).agg(
+            F.count("_f").alias("n_features"),
+            F.coalesce(F.sum("_w"), F.lit(0)).cast("bigint").alias("raw_score"),
+        )
+        score = F.when(F.col("n_features") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.col("raw_score") / (F.lit(1000.0) * F.col("n_features")), 6
+            )
+        )
+    else:
+        bucketed = exploded.select(
+            id_col,
+            "_f",
+            hashed_feature_bucket(
+                F.col("_f"), seed, n_buckets, hash_fn
+            ).alias("_bucket"),
+        )
+        wtab = weights.select(
+            F.col(weight_bucket_col).cast("bigint").alias("_bucket"),
+            F.col(weight_col).cast("double").alias("_wt"),
+        )
+        if broadcast_weights:
+            joined = bucketed.join(F.broadcast(wtab), "_bucket", "left")
+        else:
+            joined = bucketed.join(wtab.hint("shuffle_hash"), "_bucket", "left")
+        weighted = joined.select(
+            id_col, "_f", F.coalesce(F.col("_wt"), F.lit(0.0)).alias("_w")
+        )
+        agg = weighted.groupBy(id_col).agg(
+            F.count("_f").alias("n_features"),
+            F.coalesce(F.sum("_w"), F.lit(0.0)).alias("raw_score"),
+        )
+        score = F.when(F.col("n_features") == 0, F.lit(0.0)).otherwise(
+            F.round(F.col("raw_score") / F.col("n_features"), 6)
+        )
     return agg.select(
         id_col,
         "n_features",

@@ -70,6 +70,73 @@ def test_quality_classifier_no_python(spark, docs):
 
 
 @pytest.fixture(scope="module")
+def weight_table(spark):
+    # 64-bucket integer-valued double weights: bucket b -> (b*7 % 21) - 10
+    return spark.range(64).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 7 % 21) - 10).cast("double").alias("weight"),
+    )
+
+
+def test_quality_classifier_weight_table(spark, docs, weight_table):
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier(
+            docs, "doc_id", weights=weight_table, n_buckets=64
+        ).collect()
+    }
+    assert len(out) == 6
+    # identical text -> identical score; score is mean bucket weight
+    assert out[1]["raw_score"] == out[2]["raw_score"]
+    assert out[1]["n_features"] == 17
+    assert out[4]["n_features"] == 0 and out[4]["score"] == 0.0
+    assert out[5]["n_features"] == 0 and out[5]["score"] == 0.0
+    for r in out.values():
+        if r["n_features"]:
+            assert abs(r["score"] - round(r["raw_score"] / r["n_features"], 6)) < 1e-12
+        assert r["q_pass"] == (r["score"] >= 0.0)
+    # ground truth for doc 6 ("single"): one unigram, weight of its bucket
+    from schema_validator_spark.operators.textquality import hashed_feature_bucket
+
+    b = (
+        spark.range(1)
+        .select(hashed_feature_bucket(F.lit("single"), "qc", 64).alias("b"))
+        .first()["b"]
+    )
+    expected_w = float((b * 7 % 21) - 10)
+    assert out[6]["raw_score"] == expected_w
+
+
+def test_quality_classifier_weight_table_unmatched_bucket_is_zero(spark, docs):
+    # a weight table covering NO buckets -> every feature weighs 0.0
+    empty_w = spark.range(0).select(
+        F.col("id").alias("bucket"), F.col("id").cast("double").alias("weight")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier(
+            docs, "doc_id", weights=empty_w, n_buckets=64
+        ).collect()
+    }
+    assert all(r["raw_score"] == 0.0 and r["score"] == 0.0 for r in out.values())
+    assert out[1]["n_features"] == 17  # features still counted
+
+
+def test_quality_classifier_weight_table_plan_shapes(spark, docs, weight_table):
+    # default: the weight table is BROADCAST (never a sort-merge shuffle)
+    stats = plan_stats(
+        quality_classifier(docs, "doc_id", weights=weight_table, n_buckets=64)
+    )
+    assert stats["broadcasts"] == 1 and stats["python_evals"] == 0
+    # opt-out: shuffle_hash hint, no broadcast exchange of the weights
+    p = quality_classifier(
+        docs, "doc_id", weights=weight_table, n_buckets=64,
+        broadcast_weights=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p and "SortMergeJoin" not in p
+
+
+@pytest.fixture(scope="module")
 def sized_docs(spark):
     # 100 docs, token counts 1..100
     rows = [(i, (i % 100) + 1) for i in range(100)]
