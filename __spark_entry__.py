@@ -1058,6 +1058,18 @@ def q_containment(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_winnow(spark, sf_dir):
+    """ngram_jaccard with WINNOWED candidate generation (VERDICT r4 #3):
+    candidates come from per-doc window minima of the md5 gram-hash
+    sequence (window 4) instead of the full shingle stream — a ~2.5×
+    smaller self-join with the winnowing run-coverage guarantee; scores
+    stay exact from the full shingle sets."""
+    return D.ngram_jaccard_pairs(
+        _planted_text_union(spark, sf_dir), "doc_id", n_gram=3, threshold=0.8,
+        candidates="winnow", winnow_window=4, winnow_hash="md5",
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate pairs: every doc
     labelled with the smallest doc_id in its near-dup group."""
@@ -1704,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_sequences": q_assemble_sequences,
         "containment": q_containment,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_winnow": q_ngram_jaccard_winnow,
         "clean_lines": q_clean_lines,
         "frequent_line_removal": q_frequent_line_removal,
         "gopher_quality": q_gopher_quality,
@@ -3156,6 +3169,41 @@ exr AS (SELECT _id, g FROM ex JOIN rare USING (g)),
 cand AS (
   SELECT DISTINCT l._id AS id_a, r._id AS id_b
   FROM exr l JOIN exr r ON l.g = r.g AND l._id < r._id
+),
+s AS (
+  SELECT id_a, id_b,
+    len(list_intersect(a.sh, b.sh)) AS inter_size,
+    len(a.sh) AS a_n, len(b.sh) AS b_n
+  FROM cand JOIN sh a ON a._id = id_a JOIN sh b ON b._id = id_b
+)
+SELECT id_a, id_b,
+  round(inter_size / (a_n + b_n - inter_size)::DOUBLE, 6) AS jaccard
+FROM s
+WHERE round(inter_size / (a_n + b_n - inter_size)::DOUBLE, 6) >= 0.8
+""",
+        "ngram_jaccard_winnow": f"""
+WITH {_SHINGLE_CTE},
+-- POSITIONAL md5 gram-hash sequence (duplicates kept; <3-word docs fall
+-- back to the whole normalized text) mirroring dedup.winnowed_keys
+gr AS (
+  SELECT _id,
+    CASE WHEN len(ws) >= 3
+      THEN [md5(array_to_string(ws[i:i+2], ' ')) FOR i IN generate_series(1, len(ws) - 2)]
+      ELSE [md5(t)] END AS gh
+  FROM words
+),
+-- winnowing: min of every 4-long window of consecutive gram hashes
+wk AS (
+  SELECT _id, unnest(list_distinct(
+    [list_min(gh[p:p+3]) FOR p IN generate_series(1, greatest(len(gh) - 3, 1))]
+  )) AS g
+  FROM gr
+),
+rare AS (SELECT g FROM wk GROUP BY g HAVING count(*) <= 10000),
+wkr AS (SELECT _id, g FROM wk JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM wkr l JOIN wkr r ON l.g = r.g AND l._id < r._id
 ),
 s AS (
   SELECT id_a, id_b,

@@ -348,6 +348,67 @@ def minhash_near_duplicates(
 
 # -- exact n-gram Jaccard ------------------------------------------------------
 
+def winnowed_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 3,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_id, _g): winnowing-selected candidate keys per doc — the minimum
+    gram hash of every ``window`` consecutive word n-grams (Schleimer/
+    Wilkerson/Aiken winnowing over the POSITIONAL gram sequence).
+
+    The winnowing guarantee: two documents sharing any run of
+    ``window + n_gram − 1`` consecutive words share a full gram window, so
+    they share that window's minimum — every real near-dup/containment pair
+    (which shares many such runs) is discovered, while each doc contributes
+    only ~2·n_grams/(window+1) distinct keys instead of all n_grams.  Keys
+    are HASHES (collisions only ADD candidates — verification is exact from
+    the full shingle sets — never lose pairs).
+
+    ``hash_fn``: ``"xxhash64"`` (default) → BIGINT keys, the fast
+    production family; ``"md5"`` → hex-string keys with lexicographic-min
+    selection, byte-replayable by any SQL engine (the oracle family).
+
+    100 TB shape: zero shuffle and zero window functions — grams never
+    leave their row.  Per the interpreted-HOF rule the gram-hash array is
+    materialized in its OWN projection, so the window-minima lambda touches
+    only integer slices of ``_ghash`` (never recomputes a gram), and the
+    word split runs once per doc (``_normalized_words``)."""
+    if hash_fn == "xxhash64":
+        def _h(g: Column) -> Column:
+            return F.xxhash64(g)
+    elif hash_fn == "md5":
+        def _h(g: Column) -> Column:
+            return F.md5(g)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    words = _normalized_words(df, id_col, text_col)
+    w = F.col("_words")
+    cnt = F.size(w)
+    # positional (NOT distinct) gram-hash sequence; <n_gram-word docs fall
+    # back to the whole normalized text, matching word_shingles/shingled_docs
+    ghash = F.when(
+        cnt >= n_gram,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n_gram - 1)),
+            lambda i: _h(F.concat_ws(" ", F.slice(w, i, n_gram))),
+        ),
+    ).otherwise(F.array(_h(F.concat_ws(" ", w))))
+    hashed = words.select("_id", ghash.alias("_ghash"))
+    g = F.col("_ghash")
+    n_windows = F.greatest(F.size(g) - (window - 1), F.lit(1))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda p: F.array_min(F.slice(g, p, window)),
+        )
+    )
+    return hashed.select("_id", F.explode(mins).alias("_g"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -356,6 +417,9 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = 10_000,
     candidate_sample_mod: "int | None" = None,
+    candidates: str = "shingles",
+    winnow_window: int = 4,
+    winnow_hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for pairs sharing ≥1 RARE shingle.
 
@@ -371,10 +435,16 @@ def ngram_jaccard_pairs(
     ``max_doc_freq=None`` to disable.  Output: (id_a, id_b, jaccard).
 
     ``candidate_sample_mod=p`` enables mod-p shingle sampling for candidate
-    generation (see ``_ngram_pair_overlaps``) — the 100 TB scale path.
+    generation (see ``_ngram_pair_overlaps``) — a 100 TB scale path.
+    ``candidates="winnow"`` generates candidates from winnowed fingerprints
+    instead (``winnowed_keys``): a ~(window+1)/2× smaller self-join input
+    than even mod-p, with the winnowing guarantee that any pair sharing a
+    ``winnow_window + n_gram − 1``-word run is discovered.  Scores are
+    unchanged either way — verification is exact from the full sets.
     """
     sizes = _ngram_pair_overlaps(
-        df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod
+        df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod,
+        candidates, winnow_window, winnow_hash,
     )
     jac = F.col("inter_size") / (
         F.col("a_n") + F.col("b_n") - F.col("inter_size")
@@ -391,6 +461,9 @@ def _ngram_pair_overlaps(
     n_gram: int,
     max_doc_freq: "int | None",
     candidate_sample_mod: "int | None" = None,
+    candidates: str = "shingles",
+    winnow_window: int = 4,
+    winnow_hash: str = "xxhash64",
 ) -> DataFrame:
     """Shared core of ``ngram_jaccard_pairs`` / ``containment_pairs``:
     df-capped shingle self-join for candidates, then exact native
@@ -403,12 +476,26 @@ def _ngram_pair_overlaps(
     the same shingles — a pair is discovered iff ANY of its m common
     shingles is selected, P(miss) = (1 − 1/p)^m (< 0.4% for a 20-common-
     shingle near-dup at p = 4), while the self-join input shrinks p-fold
-    and hot-shingle join cost p²-fold.  Verification is UNAFFECTED — scores
-    of discovered pairs come from the full shingle sets either way."""
+    and hot-shingle join cost p²-fold.
+
+    ``candidates="winnow"`` replaces the shingle stream with winnowed
+    fingerprint keys (``winnowed_keys``) — deterministic run-coverage
+    instead of probabilistic value sampling.  Verification is UNAFFECTED by
+    either choice — scores of discovered pairs come from the full shingle
+    sets either way."""
+    if candidates not in ("shingles", "winnow"):
+        raise ValueError(
+            f"candidates must be 'shingles' or 'winnow', got {candidates!r}"
+        )
     sh = shingled_docs(df, id_col, text_col, n_gram).select(
         "_id", F.col("_shingles").alias("_sh")
     )
-    exploded = sh.select("_id", F.explode("_sh").alias("_g"))
+    if candidates == "winnow":
+        exploded = winnowed_keys(
+            df, id_col, text_col, n_gram, winnow_window, winnow_hash
+        )
+    else:
+        exploded = sh.select("_id", F.explode("_sh").alias("_g"))
     if candidate_sample_mod is not None and candidate_sample_mod > 1:
         exploded = exploded.where(
             F.pmod(F.xxhash64("_g"), F.lit(candidate_sample_mod)) == 0
@@ -457,6 +544,9 @@ def containment_pairs(
     threshold: float = 0.8,
     max_doc_freq: int = 10_000,
     candidate_sample_mod: "int | None" = None,
+    candidates: str = "shingles",
+    winnow_window: int = 4,
+    winnow_hash: str = "xxhash64",
 ) -> DataFrame:
     """ASYMMETRIC partial-duplicate detection: containment(A in B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches quotations,
@@ -472,9 +562,11 @@ def containment_pairs(
     all-pairs — and one native ``array_intersect`` per candidate); the two
     directions come from ONE explode over the already-verified sizes, so
     the pair set is computed once.  ``candidate_sample_mod=p`` enables the
-    mod-p shingle-sampling scale path (see ``_ngram_pair_overlaps``)."""
+    mod-p shingle-sampling scale path and ``candidates="winnow"`` the
+    winnowed-fingerprint path (see ``_ngram_pair_overlaps``)."""
     sizes = _ngram_pair_overlaps(
-        df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod
+        df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod,
+        candidates, winnow_window, winnow_hash,
     )
     inter = F.col("inter_size")
     both = sizes.select(
