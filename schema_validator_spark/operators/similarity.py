@@ -505,6 +505,92 @@ def ivf_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    sample_mod: "int | None" = None,
+    dim: "int | None" = None,
+) -> "list[list[float]]":
+    """Sampled k-means (Lloyd) bootstrap for ``ivf_topk`` centroids
+    (VERDICT r4 #6) — completes the operator for corpora whose id-hash
+    sample makes poor cell boundaries.  Returns ``n_centroids`` vectors to
+    pass as ``ivf_topk(centroids=...)``.
+
+    Deterministic, no RNG: seeding is the same id-hash
+    TakeOrderedAndProject rule ``ivf_topk`` uses; each Lloyd iteration
+    assigns the (sampled) corpus to its nearest centroid by cosine distance
+    — the metric ``ivf_topk`` probes with, so training optimizes the
+    quantizer that is actually used (cell means need no normalization:
+    cosine is scale-invariant) — and recomputes cell means.  Empty cells
+    keep their previous centroid.
+
+    Scale shape: ``sample_mod=p`` trains on a deterministic mod-p id-hash
+    sample (quantizer quality needs a sample, not the corpus); per
+    iteration ONE distributed job — Arrow-batch assignment (the shared
+    ``ivf_topk`` kernel), ``posexplode`` of the sample's components, and a
+    map-side-combined (cell, component) sum — with only
+    ``n_centroids × dim`` aggregate rows ever reaching the driver.  Driver
+    state is O(n_centroids·dim); the corpus is never collected."""
+    from pyspark.sql.functions import pandas_udf
+
+    src = corpus.select(
+        F.col(corpus_id).alias("_id"), F.col(corpus_vec).alias("_v")
+    )
+    if sample_mod is not None and sample_mod > 1:
+        src = src.where(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
+    seed_rows = (
+        src.orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("train_ivf_centroids: empty corpus/sample")
+    cents = [[float(x) for x in r["_v"]] for r in seed_rows]
+    if dim is None:
+        dim = len(cents[0])
+
+    for _ in range(max(0, iters)):
+        C_T = np.array(cents, dtype=np.float64)  # (m, dim)
+        CN = np.sqrt((C_T * C_T).sum(axis=1))
+
+        @pandas_udf("int")
+        def _assign(v: pd.Series) -> pd.Series:
+            ok = np.array(
+                [x is not None and len(x) == dim for x in v], dtype=bool
+            )
+            out = pd.Series(np.zeros(len(v), dtype=np.int64), dtype="Int64")
+            out[~ok] = pd.NA
+            if ok.any():
+                X = np.stack(v[ok].to_numpy()).astype(np.float64)
+                norms = np.sqrt((X * X).sum(axis=1))
+                d = 1.0 - (X @ C_T.T) / (norms[:, None] * CN[None, :])
+                out[ok] = np.argmin(d, axis=1)
+            return out
+
+        assigned = src.select(_assign(F.col("_v")).alias("_cid"), "_v").where(
+            F.col("_cid").isNotNull()
+        )
+        comp = assigned.select("_cid", F.posexplode("_v")).toDF(
+            "_cid", "_pos", "_x"
+        )
+        rows = (
+            comp.groupBy("_cid", "_pos")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["_cid"]][r["_pos"]] = r["_s"] / r["_n"]
+        cents = new
+    return cents
+
+
 def quantize_embedding(vec: Column) -> Column:
     """Symmetric int8 scalar quantization of an embedding — the standard
     4x storage/bandwidth lever for a 100 TB embedding table (floats only
