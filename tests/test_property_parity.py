@@ -336,3 +336,159 @@ def test_split_by_group_covers_and_never_straddles(spark, groups, tenths):
     for r in got:
         by_group.setdefault(r["g"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_group.values())
+
+
+# -- §2.A coercion matrix property (VERDICT r4 #8) ------------------------------
+#
+# Golden source: reference tests/coercion/mod.rs:44-82 plus the validate()
+# dispatch in src/schema/{string,number,boolean}.rs — a pure-Python model of
+# that truth table checked against the compiled Spark plan for random
+# (value type × coerce flag × schema target) combinations.
+
+import math as _math
+
+_RUST_NUM_RE = re.compile(  # ASCII-only: Rust rejects Unicode digits
+    r"[+-]?(([0-9]+\.?[0-9]*)|(\.[0-9]+))([eE][+-]?[0-9]+)?\Z"
+)
+_RUST_INF_RE = re.compile(r"[+-]?(inf|infinity)\Z", re.IGNORECASE)
+_RUST_NAN_RE = re.compile(r"[+-]?nan\Z", re.IGNORECASE)
+
+
+def _rust_parse_f64(s):
+    """Rust f64::from_str: no surrounding whitespace, no '_' separators, no
+    hex; inf/infinity/nan in any case; optional sign; decimal + exponent."""
+    if _RUST_INF_RE.match(s):
+        neg = s.startswith("-")
+        return float("-inf") if neg else float("inf")
+    if _RUST_NAN_RE.match(s):
+        return float("nan")
+    if _RUST_NUM_RE.match(s):
+        return float(s)
+    return None
+
+
+_RUST_TYPE_NAME = {str: "String", int: "Integer", float: "Float", bool: "Boolean"}
+
+
+def _coercion_truth(target, coerce, v):
+    """(expected_value, expected_code) per the reference dispatch.  bool is
+    checked before int (Python bools are ints; Rust types are disjoint)."""
+    kind = bool if isinstance(v, bool) else type(v)
+    got = _RUST_TYPE_NAME[kind]
+    if target == "string":
+        if kind is str:
+            return v, None
+        if not coerce:
+            return None, ("TYPE_ERROR", f"Type error: expected String, got {got}")
+        if kind is bool:
+            return ("true" if v else "false"), None
+        if kind is int:
+            return str(v), None
+        if abs(v) < 2.0**63:
+            return format(v, ".0f"), None  # Rust {:.0}: half-even, keeps "-0"
+        # |x| >= 2^63: DOCUMENTED best-effort divergence
+        # (compile.rust_f64_to_string): Java %.0f prints Double.toString's
+        # digits + zero padding, not Rust's exact binary expansion — assert
+        # the round-trip contract instead of exact digits
+        return ("__roundtrip__", v), None
+    if target == "number":
+        if kind is float:
+            return v, None
+        if not coerce:
+            return None, ("TYPE_ERROR", f"Type error: expected Number, got {got}")
+        if kind is bool:
+            return (1.0 if v else 0.0), None
+        if kind is int:
+            return float(v), None
+        parsed = _rust_parse_f64(v)
+        if parsed is None:
+            return None, (
+                "COERCION_ERROR",
+                "Coercion error: cannot convert String to Number",
+            )
+        return parsed, None
+    # boolean
+    if kind is bool:
+        return v, None
+    if not coerce:
+        return None, ("TYPE_ERROR", f"Type error: expected Boolean, got {got}")
+    if kind is int:
+        return v != 0, None
+    if kind is float:
+        return v != 0.0, None  # NaN != 0.0 -> true, like Rust
+    return v != "", None
+
+
+_NUMBERISH = st.one_of(
+    st.from_regex(r"[+-]?\d{1,12}(\.\d{0,8})?([eE][+-]?\d{1,2})?", fullmatch=True),
+    st.sampled_from(
+        [
+            "", " 42", "42 ", "inf", "-inf", "Infinity", "NaN", "nan",
+            "1_000", "0x10", ".5", "5.", "+.5", "1e", "e5", "--1", "1.2.3",
+            "not a number", "4 2", "٤٢",
+        ]
+    ),
+    st.text(st.sampled_from(list("0123456789.eE+- _xZ")), max_size=12),
+)
+
+_COERCION_VALUES = {
+    "str": st.lists(_NUMBERISH, min_size=1, max_size=30),
+    "int": st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=30
+    ),
+    "float": st.lists(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        min_size=1,
+        max_size=30,
+    ),
+    "bool": st.lists(st.booleans(), min_size=1, max_size=30),
+}
+
+_KIND_SPARK = {"str": "string", "int": "long", "float": "double", "bool": "boolean"}
+
+
+@given(
+    st.sampled_from(["string", "number", "boolean"]),
+    st.booleans(),
+    st.sampled_from(["str", "int", "float", "bool"]),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+def test_coercion_matrix_property(spark, target, coerce, kind, data):
+    from pyspark.sql import types as T
+
+    from helpers import run_cases
+
+    values = data.draw(_COERCION_VALUES[kind])
+    s = schema().coerce() if coerce else schema()
+    sch = getattr(s, target)()
+    spark_type = {
+        "str": T.StringType(),
+        "int": T.LongType(),
+        "float": T.DoubleType(),
+        "bool": T.BooleanType(),
+    }[kind]
+    results = run_cases(spark, sch, values, spark_type=spark_type)
+    for v, (out, viol) in zip(values, results):
+        want_val, want_err = _coercion_truth(target, coerce, v)
+        ctx = f"target={target} coerce={coerce} value={v!r}"
+        if want_err is None:
+            assert viol is None, f"{ctx}: unexpected {viol}"
+            if isinstance(want_val, tuple) and want_val[0] == "__roundtrip__":
+                # best-effort range: integer string that parses back to the
+                # exact same double, correct sign, no point/exponent
+                assert re.fullmatch(r"-?\d+", out), f"{ctx}: {out!r}"
+                assert float(out) == want_val[1], f"{ctx}: {out!r}"
+            elif isinstance(want_val, float):
+                if _math.isnan(want_val):
+                    assert _math.isnan(out), ctx
+                else:
+                    assert out == want_val, f"{ctx}: {out!r} != {want_val!r}"
+            else:
+                assert out == want_val, f"{ctx}: {out!r} != {want_val!r}"
+        else:
+            code, msg = want_err
+            assert viol is not None, f"{ctx}: expected {code}, got ok({out!r})"
+            assert viol["code"] == code, f"{ctx}: {viol['code']} != {code}"
+            assert viol["message"] == msg, f"{ctx}: {viol['message']!r}"
