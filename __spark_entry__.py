@@ -1682,76 +1682,38 @@ def q_cap_per_key(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-gate priority: the driver checks the
     FIRST 50 entries per round (observed: CORRECTNESS_r03 rows == the first
-    50 keys of the round-3 registry).  Tiers, per VERDICT.md round-3 #3:
+    50 keys of the round-3 registry).  Tiers, per VERDICT.md round-4 #1
+    (oldest driver row first):
 
-      1. touched this round (impl or oracle changed, or brand new) — these
+      1. touched in round 5 (impl or oracle changed, or brand new) — these
          MUST get a fresh CORRECTNESS row;
-      2. never driver-checked in any round;
-      3. last driver row is r02 (skipped by the r03 cap);
-      4. rotating remainder of stable r03-green queries.
+      2. oldest driver row: winnow_fingerprint's newest green row is r02;
+      3. the 37 remaining queries whose newest driver row is r03 (they were
+         beyond r04's 50-cap);
+      4. one slack slot: asof_join_sliced (r04-green; its skew probe ran
+         this round, tools/asof_skew_probe.py).
 
-    The tail beyond position 50 (all r03-green, untouched this round) is
+    With this order CORRECTNESS_r05 ∪ r04 covers all 91 registry queries.
+    The tail beyond position 50 (all r04-green, untouched this round) is
     covered by the committed local run of tools/oracle_check.py recorded in
-    BENCH/ROUNDLOG_r04.md.
+    BENCH/ROUNDLOG_r05.md.
     """
     return {
-        # --- tier 1: touched in round 4 -------------------------------
-        "dedup_paragraphs": q_dedup_paragraphs,
+        # --- tier 1: touched in round 5 -------------------------------
         "quality_classifier": q_quality_classifier,
         "quality_classifier_table": q_quality_classifier_table,
-        "pack_sequences": q_pack_sequences,
-        "cap_per_key": q_cap_per_key,
-        "shard_corpus": q_shard_corpus,
-        "fix_mojibake": q_fix_mojibake,
-        "upsample_mixture": q_upsample_mixture,
-        "split_by_group": q_split_by_group,
-        "windowed_drift": q_windowed_drift,
-        "html_stats": q_html_stats,
-        "iqr_outliers": q_iqr_outliers,
-        "benford": q_benford,
-        "entropy": q_entropy,
-        "vocab_topk": q_vocab_topk,
-        "badword_filter": q_badword_filter,
-        "dedup_incremental": q_dedup_incremental,
-        "assemble_sequences": q_assemble_sequences,
-        "containment": q_containment,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_winnow": q_ngram_jaccard_winnow,
-        "clean_lines": q_clean_lines,
-        "frequent_line_removal": q_frequent_line_removal,
-        "gopher_quality": q_gopher_quality,
-        "redact_pii": q_redact_pii,
-        "contaminated_docs": q_contaminated_docs,
-        "asof_join": q_asof_join,
-        "asof_join_sliced": q_asof_join_sliced,
-        "range_join": q_range_join,
-        "range_join_shuffle": q_range_join_shuffle,
-        "normalize_url": q_normalize_url,
-        "canonical_dedup": q_canonical_dedup,
-        "table_checks": q_table_checks,
-        "extract_text": q_extract_text,
+        "containment": q_containment,
         "near_dup_clusters": q_near_dup_clusters,
-        "cluster_keep_best": q_cluster_keep_best,
-        "embedding_near_dups": q_embedding_near_dups,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "multimodal_features": q_multimodal_features,
-        "resize_media": q_resize_media,
-        "frame_samples": q_frame_samples,
-        # --- tier 2: never driver-checked -----------------------------
-        "chunk_text": q_chunk_text,
-        "quantize_embeddings": q_quantize_embeddings,
-        # --- tier 3: last driver row is r02 ---------------------------
-        "lsh_topk": q_lsh_topk,
+        "ks_exact": q_ks_exact,
         "ivf_topk": q_ivf_topk,
-        "text_metrics": q_text_metrics,
-        "language_counts": q_language_counts,
-        "token_totals": q_token_totals,
-        "corpus_filter": q_corpus_filter,
-        "dup_ngrams": q_dup_ngrams,
-        "intra_repetition": q_intra_repetition,
+        "benford": q_benford,
+        "upsample_mixture": q_upsample_mixture,
+        "iqr_outliers": q_iqr_outliers,
+        # --- tier 2: oldest driver row (r02) --------------------------
         "winnow_fingerprint": q_winnow_fingerprint,
-        # --- tier 4: rotating stable remainder (r03-green) ------------
+        # --- tier 3: newest driver row is r03 -------------------------
         "validate_flagship": q_validate_flagship,
         "verdicts_by_lang": q_verdicts_by_lang,
         "profile_documents": q_profile_documents,
@@ -1769,13 +1731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_verdicts": q_session_verdicts,
         "psi_drift": q_psi_drift,
         "psi_multi": q_psi_multi,
-        "ks_exact": q_ks_exact,
         "ks_drift": q_ks_drift,
         "sample_stratified": q_sample_stratified,
         "sample_token_budget": q_sample_token_budget,
         "cosine_topk": q_cosine_topk,
-        # --- beyond the 50-cap: r03-green + untouched this round; -----
-        # --- re-verified locally (see BENCH/ROUNDLOG_r04.md) ----------
         "transform_chain": q_transform_chain,
         "coerce_number": q_coerce_number,
         "coerce_string_bool": q_coerce_string_bool,
@@ -1792,6 +1751,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agg": q_dedup_agg,
         "dedup_window": q_dedup_window,
         "orphans_shuffle_hash": q_orphans_shuffle_hash,
+        # --- tier 4: slack slot (r04-green, skew-probed this round) ---
+        "asof_join_sliced": q_asof_join_sliced,
+        # --- beyond the 50-cap: r04-green + untouched this round; -----
+        # --- re-verified locally (see BENCH/ROUNDLOG_r05.md) ----------
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "pack_sequences": q_pack_sequences,
+        "cap_per_key": q_cap_per_key,
+        "shard_corpus": q_shard_corpus,
+        "fix_mojibake": q_fix_mojibake,
+        "split_by_group": q_split_by_group,
+        "windowed_drift": q_windowed_drift,
+        "html_stats": q_html_stats,
+        "entropy": q_entropy,
+        "vocab_topk": q_vocab_topk,
+        "badword_filter": q_badword_filter,
+        "dedup_incremental": q_dedup_incremental,
+        "assemble_sequences": q_assemble_sequences,
+        "clean_lines": q_clean_lines,
+        "frequent_line_removal": q_frequent_line_removal,
+        "gopher_quality": q_gopher_quality,
+        "redact_pii": q_redact_pii,
+        "contaminated_docs": q_contaminated_docs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "range_join_shuffle": q_range_join_shuffle,
+        "normalize_url": q_normalize_url,
+        "canonical_dedup": q_canonical_dedup,
+        "table_checks": q_table_checks,
+        "extract_text": q_extract_text,
+        "cluster_keep_best": q_cluster_keep_best,
+        "embedding_near_dups": q_embedding_near_dups,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "multimodal_features": q_multimodal_features,
+        "resize_media": q_resize_media,
+        "frame_samples": q_frame_samples,
+        "chunk_text": q_chunk_text,
+        "quantize_embeddings": q_quantize_embeddings,
+        "lsh_topk": q_lsh_topk,
+        "text_metrics": q_text_metrics,
+        "language_counts": q_language_counts,
+        "token_totals": q_token_totals,
+        "corpus_filter": q_corpus_filter,
+        "dup_ngrams": q_dup_ngrams,
+        "intra_repetition": q_intra_repetition,
     }
 
 
