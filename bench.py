@@ -241,6 +241,28 @@ def main():
         extras["minhash_24m_sec"] = round(dt, 3)
         extras["minhash_24m_docs_per_sec"] = round(RUN_FULL_ROWS / dt, 1)
 
+        # the other two dedup kernels on the SAME 24M substrate (VERDICT r4
+        # #7): all three scale numbers live above the sf0.1 noise floor
+        t0 = time.time()
+        D.simhash_near_duplicates(
+            mh_docs, "doc_id", max_hamming=3, hash_fn="xxhash64",
+            max_bucket_size=1000,
+        ).count()
+        dt = time.time() - t0
+        extras["simhash_24m_sec"] = round(dt, 3)
+        extras["simhash_24m_docs_per_sec"] = round(RUN_FULL_ROWS / dt, 1)
+
+        # containment via the winnowed-candidate scale path; tight doc-freq
+        # cap — crawl boilerplate keys are quadratic in members otherwise
+        t0 = time.time()
+        D.containment_pairs(
+            mh_docs, "doc_id", threshold=0.9, max_doc_freq=100,
+            candidates="winnow",
+        ).count()
+        dt = time.time() - t0
+        extras["containment_24m_sec"] = round(dt, 3)
+        extras["containment_24m_docs_per_sec"] = round(RUN_FULL_ROWS / dt, 1)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

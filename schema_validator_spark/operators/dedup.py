@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -130,8 +132,12 @@ def _cap_hot_buckets(
     A bucket of m identical-boilerplate pages contributes m²/2 pairs; real
     crawls have single templates repeated 10⁶+ times, so an uncapped
     pair-listing is quadratic in the hottest template no matter how good the
-    banding is.  The count runs as a window over the SAME keys the self-join
-    shuffles on, so the exchange is reused (no extra shuffle).  Docs in a
+    banding is.  Shape: hash-agg bucket counts (map-side combined) and
+    shuffle-hash-join the surviving keys back — NOT a count window, which
+    would SORT the whole exploded entry stream inside each key partition
+    (the window form cost ~80 s of pure sort on a 40M-entry stream where
+    this form is seconds; sorts are the enemy everywhere in the candidate
+    path, same lesson as the self-join's shuffle_hash hint).  Docs in a
     dropped bucket usually still pair through their other bands/blocks;
     clustering flows (near_dup_clusters) only need SOME edge per group.
     None (default) = off — the oracle-checked configurations keep exact
@@ -139,12 +145,13 @@ def _cap_hot_buckets(
     """
     if max_bucket_size is None:
         return entries
-    w = Window.partitionBy(*key_cols)
-    return (
-        entries.withColumn("_bkt_n", F.count(F.lit(1)).over(w))
+    ok = (
+        entries.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bkt_n"))
         .where(F.col("_bkt_n") <= max_bucket_size)
         .drop("_bkt_n")
     )
+    return entries.join(ok.hint("shuffle_hash"), key_cols, "inner")
 
 
 def _normalized_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -204,7 +211,11 @@ def shingled_docs(
 
 
 def exploded_gram_stream(
-    df: DataFrame, id_col: str, text_col: str = "text", n_gram: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_gram: int = 3,
+    max_positions: "int | None" = None,
 ) -> DataFrame:
     """(_id, _g): one row per word-n-gram POSITION — the zero-HOF shape.
 
@@ -213,17 +224,21 @@ def exploded_gram_stream(
     expression stays inside whole-stage codegen — no higher-order function
     anywhere, no interpreted fallback.  Emits duplicate grams (no
     array_distinct); use only under aggregates that are multiset-invariant
-    (MIN for MinHash signatures).  Short docs emit the whole normalized text
-    as their single gram, matching ``word_shingles``' fallback.
+    (MIN for MinHash signatures) or followed by an explicit distinct.  Short
+    docs emit the whole normalized text as their single gram, matching
+    ``word_shingles``' fallback.  ``max_positions`` truncates each doc to its
+    first that-many gram positions (callers whose downstream state must stay
+    bounded per doc, e.g. SimHash's 16-bit vote lanes).
     """
     words = _normalized_words(df, id_col, text_col)
     n = F.size(F.col("_words"))
+    last = F.greatest(n - (n_gram - 1), F.lit(1))
+    if max_positions is not None:
+        last = F.least(last, F.lit(max_positions))
     return words.select(
         "_id",
         "_words",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n - (n_gram - 1), F.lit(1)))
-        ).alias("_pos"),
+        F.explode(F.sequence(F.lit(1), last)).alias("_pos"),
     ).select(
         "_id",
         F.concat_ws(" ", F.slice(F.col("_words"), F.col("_pos"), n_gram)).alias("_g"),
@@ -648,21 +663,49 @@ def simhash_fingerprints(
     This is the scale shape: the single-expression ``simhash64`` fold evaluates
     64 array passes per row — fine for ad-hoc use, ~10× slower in practice.
     Output: (_id, _fp).
+
+    Path split (the r4 minhash lesson, applied r5): the FAST family streams
+    gram positions through ``exploded_gram_stream`` — every expression in
+    whole-stage codegen, no HOF — then dedups (_id, hash) in a map-side-
+    combining hash agg (SimHash votes count each distinct shingle once, and
+    distinct-on-hash is vote-identical to distinct-on-gram short of a 64-bit
+    collision).  Measured 2.5× on the 2M-row web_pages substrate.  Per-doc
+    boundedness comes from truncating to the first SIMHASH_MAX_SHINGLES gram
+    POSITIONS (the md5 path caps distinct grams instead — immaterial below
+    the cap, which sf-test docs never reach).  The md5 family keeps the
+    HOF-shingle shape so its fingerprints stay bit-identical to the DuckDB
+    oracle's distinct-gram-string semantics.
     """
     if hash_fn == "xxhash64":
-        bits, hashed = 64, F.xxhash64("_g")
+        bits = 64
+        # ONE explicit shuffle keyed by doc id; both the distinct-shingle
+        # agg and the vote agg below then run shuffle-free on top of it
+        # (hash-partitioning on _id satisfies clustering by (_id, _h) AND by
+        # _id), with per-partition hash maps of only n_docs/n_partitions
+        # keys.  Letting dropDuplicates plan its own (_id, _h) exchange
+        # instead puts a partial agg under it whose per-task map spans ALL
+        # doc ids (~280 MB each at 2M docs — spill city), then a second
+        # full exchange for the vote agg: measured 4× slower end-to-end.
+        sh = (
+            exploded_gram_stream(
+                df, id_col, text_col, n_gram,
+                max_positions=SIMHASH_MAX_SHINGLES,
+            )
+            .select("_id", F.xxhash64("_g").alias("_h"))
+            .repartition("_id")
+            .dropDuplicates(["_id", "_h"])
+        )
     elif hash_fn == "md5":
         # 15 hex nibbles = 60 bits, always non-negative (fits signed bigint)
         bits = 60
         hashed = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint")
+        sh = shingled_docs(
+            df, id_col, text_col, n_gram, max_shingles=SIMHASH_MAX_SHINGLES
+        ).select("_id", F.explode("_shingles").alias("_g")).select(
+            "_id", hashed.alias("_h")
+        )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-
-    sh = shingled_docs(
-        df, id_col, text_col, n_gram, max_shingles=SIMHASH_MAX_SHINGLES
-    ).select("_id", F.explode("_shingles").alias("_g")).select(
-        "_id", hashed.alias("_h")
-    )
 
     # Pack 4 per-bit set-counters into 16-bit lanes of one long: bits/4 native
     # sum aggregates instead of one per bit (4x fewer agg-buffer updates;
@@ -670,22 +713,32 @@ def simhash_fingerprints(
     # is set in the fingerprint iff its +1/-1 vote is positive, i.e.
     # 2*ones_i > n_shingles.  The 16-bit lane at bit 48 bounds per-doc shingle
     # counts to <32768 (see SIMHASH_MAX_SHINGLES).
+    #
+    # The lane values are computed in a PROJECTION below the agg, NOT inside
+    # the sum(...) expressions: embedding bits/4 × 4-lane shift/and chains in
+    # the aggregate update function blows janino's 64 KB method limit, the
+    # whole hash-agg silently drops out of codegen, and the interpreted agg
+    # costs ~75 s over the 2M-row web_pages substrate (projections auto-split
+    # into sub-methods; aggregate update functions do not).  With the split,
+    # the agg update is 16 plain long adds.
     one = F.lit(1).cast("bigint")
     groups = bits // 4
 
-    def _packed(k: int):
+    def _lane(k: int):
         def bit(lane: int):
             return F.shiftright(F.col("_h"), k * 4 + lane).bitwiseAND(one)
 
-        return F.sum(
+        return (
             bit(0)
             + F.shiftleft(bit(1), 16)
             + F.shiftleft(bit(2), 32)
             + F.shiftleft(bit(3), 48)
-        ).alias(f"_p{k}")
+        ).alias(f"_l{k}")
 
-    agg = sh.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"), *[_packed(k) for k in range(groups)]
+    lanes = sh.select("_id", *[_lane(k) for k in range(groups)])
+    agg = lanes.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_l{k}").alias(f"_p{k}") for k in range(groups)],
     )
     mask = F.lit(0xFFFF).cast("bigint")
     fp = F.lit(0).cast("bigint")
@@ -709,6 +762,7 @@ def simhash_near_duplicates(
     block_bits: "int | None" = None,
     hash_fn: str = "xxhash64",
     max_bucket_size: "int | None" = None,
+    combo_blocks: "int | None" = None,
 ) -> DataFrame:
     """SimHash near-dups: block on bit-slices (4 rotations) so only rows
     agreeing on one block are compared — a pigeonhole guarantee for
@@ -722,39 +776,91 @@ def simhash_near_duplicates(
     blocks that two fingerprints within ``max_hamming`` MUST agree on one
     (pigeonhole), for either hash family (64-bit xxhash64 or the 60-bit md5
     oracle family) and any max_hamming, without the caller remembering; an
-    explicit value that leaves too few blocks is rejected."""
+    explicit value that leaves too few blocks is rejected.
+
+    **Scale path — ``combo_blocks`` (multi-index blocking).**  Single-block
+    keys are only ``total_bits // (h+1)`` wide (16 bits for h=3): ~65k
+    buckets, so bucket population — and candidate pairs, which grow with
+    its SQUARE — rises linearly with corpus size.  Fine to ~1M docs; at 24M
+    the 4 block joins compare ~17B pairs.  Setting ``combo_blocks=k``
+    (k > max_hamming, e.g. 6) splits the fingerprint into k near-equal
+    blocks and joins on every ``(k - max_hamming)``-block combination
+    (C(6,3)=20 keys of ~32 bits): a pair within ``max_hamming`` corrupts at
+    most ``max_hamming`` blocks, so some combination survives intact —
+    candidate recall is still EXACT, and the final verified pair set is
+    identical to the single-block scheme.  Buckets now number ~2^32 per
+    combination, so expected random collisions are N²·C/2^{32} (~1M pairs
+    at N=24M) instead of N²/2^{16}.  This is the multi-table indexing
+    design from Manku et al., "Detecting Near-Duplicates for Web Crawling"
+    (WWW'07), re-expressed as an explode + self-equi-join."""
     fp = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
     total_bits = 60 if hash_fn == "md5" else 64
-    if block_bits is None:
-        block_bits = max(total_bits // (max_hamming + 1), 1)
-    n_blocks = total_bits // block_bits
-    if n_blocks <= max_hamming:
-        raise ValueError(
-            f"block_bits={block_bits} gives {n_blocks} blocks over "
-            f"{total_bits}-bit fingerprints — need > max_hamming={max_hamming} "
-            "blocks for the pigeonhole guarantee"
-        )
-    mask = (1 << block_bits) - 1
-    blocked = fp.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("blk"),
-                    F.shiftright("_fp", b * block_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for b in range(n_blocks)
-            ])
-        ).alias("_b"),
-    ).select("_id", "_fp", "_b.blk", "_b.key")
+    if combo_blocks is not None:
+        if combo_blocks <= max_hamming:
+            raise ValueError(
+                f"combo_blocks={combo_blocks} must exceed "
+                f"max_hamming={max_hamming} for the pigeonhole guarantee"
+            )
+        # near-equal block widths covering all total_bits (e.g. 64/6 →
+        # 11,11,11,11,10,10); offsets precomputed driver-side
+        base, extra = divmod(total_bits, combo_blocks)
+        widths = [base + (1 if i < extra else 0) for i in range(combo_blocks)]
+        offsets = [sum(widths[:i]) for i in range(combo_blocks)]
+
+        def _block(i: int):
+            return F.shiftright("_fp", offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+
+        keep = combo_blocks - max_hamming
+        combos = list(itertools.combinations(range(combo_blocks), keep))
+        # pack each combination's block values into ONE bigint key (blocks
+        # are ≤ 16 bits, so 16-bit lanes never overflow for keep ≤ 3)
+        structs = []
+        for ci, combo in enumerate(combos):
+            key = F.lit(0).cast("bigint")
+            for b in combo:
+                key = key * F.lit(65536) + _block(b)
+            structs.append(
+                F.struct(F.lit(ci).alias("blk"), key.alias("key"))
+            )
+        blocked = fp.select(
+            "_id", "_fp", F.explode(F.array(*structs)).alias("_b")
+        ).select("_id", "_fp", "_b.blk", "_b.key")
+    else:
+        if block_bits is None:
+            block_bits = max(total_bits // (max_hamming + 1), 1)
+        n_blocks = total_bits // block_bits
+        if n_blocks <= max_hamming:
+            raise ValueError(
+                f"block_bits={block_bits} gives {n_blocks} blocks over "
+                f"{total_bits}-bit fingerprints — need > max_hamming="
+                f"{max_hamming} blocks for the pigeonhole guarantee"
+            )
+        mask = (1 << block_bits) - 1
+        blocked = fp.select(
+            "_id",
+            "_fp",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("_fp", b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ])
+            ).alias("_b"),
+        ).select("_id", "_fp", "_b.blk", "_b.key")
     blocked = _cap_hot_buckets(blocked, ["blk", "key"], max_bucket_size)
+    # shuffle-hash, not sort-merge: both sides are the same exploded stream
+    # (n_blocks×N rows) and per-partition build maps are small; skipping the
+    # two 40M-row sorts measured 6× on the 2M-row web_pages substrate
     pairs = (
         blocked.alias("l")
         .join(
-            blocked.alias("r"),
+            blocked.alias("r").hint("shuffle_hash"),
             (F.col("l.blk") == F.col("r.blk"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l._id") < F.col("r._id")),

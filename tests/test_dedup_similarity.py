@@ -70,6 +70,52 @@ def test_simhash(spark, near_dup_docs):
     assert (1, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_simhash_multi_index_identical_pairs(spark, near_dup_docs):
+    """combo_blocks (Manku-style multi-index) must yield the EXACT same
+    verified pair set as single-block pigeonhole — candidate recall is exact
+    in both schemes, and verification filters identically."""
+    # widen the corpus so there are non-trivial pairs and non-pairs
+    docs = near_dup_docs.unionAll(
+        near_dup_docs.select(
+            (F.col("doc_id") + 100).alias("doc_id"),
+            F.concat("text", F.lit(" tail9")).alias("text"),
+        )
+    )
+    for hash_fn, cb in (("xxhash64", 6), ("xxhash64", 5), ("md5", 5)):
+        single = {
+            tuple(r)
+            for r in dedup.simhash_near_duplicates(
+                docs, "doc_id", max_hamming=3, hash_fn=hash_fn
+            ).collect()
+        }
+        multi = {
+            tuple(r)
+            for r in dedup.simhash_near_duplicates(
+                docs, "doc_id", max_hamming=3, hash_fn=hash_fn, combo_blocks=cb
+            ).collect()
+        }
+        assert multi == single, (hash_fn, cb)
+    with pytest.raises(ValueError, match="combo_blocks"):
+        dedup.simhash_near_duplicates(
+            docs, "doc_id", max_hamming=3, combo_blocks=3
+        )
+
+
+def test_exploded_gram_stream_max_positions(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y")], "doc_id long, text string"
+    )
+    got = (
+        dedup.exploded_gram_stream(df, "doc_id", "text", 2, max_positions=3)
+        .groupBy("_id")
+        .count()
+        .collect()
+    )
+    counts = {r["_id"]: r["count"] for r in got}
+    assert counts[1] == 3      # 5 positions truncated to 3
+    assert counts[2] == 1      # short doc: single whole-text gram
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)
