@@ -1070,6 +1070,19 @@ def q_ngram_jaccard_winnow(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_exploded(spark, sf_dir):
+    """ngram_jaccard with the zero-array EXPLODED pipeline (the 24M+/100 TB
+    shape, round 5): candidates from bigint hashes of the positional codegen
+    gram stream, verification from distinct string grams of candidate docs
+    only (dedup._exploded_pair_overlaps) — no per-doc shingle arrays, no
+    interpreted HOF anywhere in the plan.  Same oracle as ngram_jaccard:
+    pair set and scores are identical whenever the df cap does not bind."""
+    return D.ngram_jaccard_pairs(
+        _planted_text_union(spark, sf_dir), "doc_id", n_gram=3, threshold=0.8,
+        candidates="exploded",
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate pairs: every doc
     labelled with the smallest doc_id in its near-dup group."""
@@ -1689,11 +1702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          MUST get a fresh CORRECTNESS row;
       2. oldest driver row: winnow_fingerprint's newest green row is r02;
       3. the 37 remaining queries whose newest driver row is r03 (they were
-         beyond r04's 50-cap);
-      4. one slack slot: asof_join_sliced (r04-green; its skew probe ran
-         this round, tools/asof_skew_probe.py).
+         beyond r04's 50-cap).
 
-    With this order CORRECTNESS_r05 ∪ r04 covers all 91 registry queries.
+    asof_join_sliced (r04-green; its skew probe ran this round,
+    tools/asof_skew_probe.py) sits at position 51, displaced by the new
+    ngram_jaccard_exploded.  With this order CORRECTNESS_r05 ∪ r04 covers
+    all 92 registry queries.
     The tail beyond position 50 (all r04-green, untouched this round) is
     covered by the committed local run of tools/oracle_check.py recorded in
     BENCH/ROUNDLOG_r05.md.
@@ -1704,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_table": q_quality_classifier_table,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_winnow": q_ngram_jaccard_winnow,
+        "ngram_jaccard_exploded": q_ngram_jaccard_exploded,
         "containment": q_containment,
         "near_dup_clusters": q_near_dup_clusters,
         "ks_exact": q_ks_exact,
@@ -2131,7 +2146,7 @@ def oracle_sql() -> dict[str, str]:
     g_bul = "len(regexp_extract_all(text, '(^|\\n) *[-*] '))"
     g_ell = "len(regexp_extract_all(text || chr(10), '\\.\\.\\.\\n'))"
     g_sym = "len(regexp_extract_all(text, '#|\\.\\.\\.'))"
-    return {
+    sql = {
         "clean_lines": f"""
 WITH d AS ({webtext_sql}),
 sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
@@ -3606,3 +3621,9 @@ SELECT doc_id AS media_id,
 FROM fr
 """,
     }
+    # candidates="exploded" (zero-array scale path) yields the IDENTICAL
+    # pair set and scores as the array path whenever the df cap does not
+    # bind (10000 never binds at sf0.01) — the array-path oracle is its
+    # oracle by construction.
+    sql["ngram_jaccard_exploded"] = sql["ngram_jaccard"]
+    return sql

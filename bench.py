@@ -242,22 +242,28 @@ def main():
         extras["minhash_24m_docs_per_sec"] = round(RUN_FULL_ROWS / dt, 1)
 
         # the other two dedup kernels on the SAME 24M substrate (VERDICT r4
-        # #7): all three scale numbers live above the sf0.1 noise floor
+        # #7): all three scale numbers live above the sf0.1 noise floor.
+        # combo_blocks=6 (multi-index) is mandatory at this size: single-
+        # block 16-bit keys average ~370 entries/bucket at 24M docs — ~17B
+        # candidate pairs even under the cap (quadratic in MEAN bucket
+        # size, which the cap doesn't touch); 32-bit combo keys don't fill
         t0 = time.time()
         D.simhash_near_duplicates(
             mh_docs, "doc_id", max_hamming=3, hash_fn="xxhash64",
-            max_bucket_size=1000,
+            max_bucket_size=1000, combo_blocks=6,
         ).count()
         dt = time.time() - t0
         extras["simhash_24m_sec"] = round(dt, 3)
         extras["simhash_24m_docs_per_sec"] = round(RUN_FULL_ROWS / dt, 1)
 
-        # containment via the winnowed-candidate scale path; tight doc-freq
-        # cap — crawl boilerplate keys are quadratic in members otherwise
+        # containment via the zero-array exploded scale path (the winnow /
+        # shingle-array paths pay two interpreted-HOF scans — ~10 min at
+        # 24M before any join); tight doc-freq cap — crawl boilerplate
+        # keys are quadratic in bucket members otherwise
         t0 = time.time()
         D.containment_pairs(
             mh_docs, "doc_id", threshold=0.9, max_doc_freq=100,
-            candidates="winnow",
+            candidates="exploded",
         ).count()
         dt = time.time() - t0
         extras["containment_24m_sec"] = round(dt, 3)

@@ -132,26 +132,29 @@ def _cap_hot_buckets(
     A bucket of m identical-boilerplate pages contributes m²/2 pairs; real
     crawls have single templates repeated 10⁶+ times, so an uncapped
     pair-listing is quadratic in the hottest template no matter how good the
-    banding is.  Shape: hash-agg bucket counts (map-side combined) and
-    shuffle-hash-join the surviving keys back — NOT a count window, which
-    would SORT the whole exploded entry stream inside each key partition
-    (the window form cost ~80 s of pure sort on a 40M-entry stream where
-    this form is seconds; sorts are the enemy everywhere in the candidate
-    path, same lesson as the self-join's shuffle_hash hint).  Docs in a
-    dropped bucket usually still pair through their other bands/blocks;
-    clustering flows (near_dup_clusters) only need SOME edge per group.
-    None (default) = off — the oracle-checked configurations keep exact
-    pair-listing semantics.
+    banding is.  Shape: hash-agg bucket counts (map-side combined), keep
+    only the OVER-cap keys — at most n_entries/cap of them, by definition
+    tiny — and broadcast LEFT-ANTI join them against the entry stream.
+    Two shapes this replaces, both measured failures: a count window SORTS
+    the whole exploded entry stream inside each key partition (~80 s of
+    pure sort on a 40M-entry stream), and inner-joining the UNDER-cap keys
+    back builds per-task hash maps of nearly every entry key (buckets are
+    mostly singletons once keys are ~32-bit), which OOM'd the 16 GB local
+    JVM at 480M entries — the bad-key side is the only one guaranteed
+    small at every scale.  Docs in a dropped bucket usually still pair
+    through their other bands/blocks; clustering flows (near_dup_clusters)
+    only need SOME edge per group.  None (default) = off — the
+    oracle-checked configurations keep exact pair-listing semantics.
     """
     if max_bucket_size is None:
         return entries
-    ok = (
+    bad = (
         entries.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_bkt_n"))
-        .where(F.col("_bkt_n") <= max_bucket_size)
+        .where(F.col("_bkt_n") > max_bucket_size)
         .drop("_bkt_n")
     )
-    return entries.join(ok.hint("shuffle_hash"), key_cols, "inner")
+    return entries.join(F.broadcast(bad), key_cols, "left_anti")
 
 
 def _normalized_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -497,10 +500,33 @@ def _ngram_pair_overlaps(
     fingerprint keys (``winnowed_keys``) — deterministic run-coverage
     instead of probabilistic value sampling.  Verification is UNAFFECTED by
     either choice — scores of discovered pairs come from the full shingle
-    sets either way."""
-    if candidates not in ("shingles", "winnow"):
+    sets either way.
+
+    ``candidates="exploded"`` is the 24M+/100 TB shape: no per-doc shingle
+    ARRAYS anywhere in the plan.  The array paths above pay two
+    interpreted-HOF passes over every doc (``shingled_docs``'s
+    slice+concat ``transform`` and, for winnow, the ``_ghash`` lambda) —
+    measured ~10 min of pure scan at 24M docs before any join — and carry
+    kilobyte array cells through the verify joins.  Here candidates come
+    from the positional codegen gram stream hashed to BIGINT keys
+    (``exploded_gram_stream`` → ``xxhash64``; key collisions only ADD
+    candidates), and verification re-derives DISTINCT STRING grams for
+    CANDIDATE DOCS ONLY — a semi-join the AQE planner turns into a
+    broadcast against the gram stream when the candidate id set is small,
+    so verify cost scales with the number of candidates, not the corpus.
+    Two cap-semantics deltas vs the array paths, both documented-benign:
+    the df cap counts gram OCCURRENCES rather than distinct docs (equal
+    unless a doc repeats a gram), and per-doc gram truncation is by
+    position rather than by distinct-gram rank.  Scores of discovered
+    pairs are exact string-set arithmetic either way."""
+    if candidates not in ("shingles", "winnow", "exploded"):
         raise ValueError(
-            f"candidates must be 'shingles' or 'winnow', got {candidates!r}"
+            "candidates must be 'shingles', 'winnow' or 'exploded', "
+            f"got {candidates!r}"
+        )
+    if candidates == "exploded":
+        return _exploded_pair_overlaps(
+            df, id_col, text_col, n_gram, max_doc_freq, candidate_sample_mod
         )
     sh = shingled_docs(df, id_col, text_col, n_gram).select(
         "_id", F.col("_shingles").alias("_sh")
@@ -516,13 +542,21 @@ def _ngram_pair_overlaps(
             F.pmod(F.xxhash64("_g"), F.lit(candidate_sample_mod)) == 0
         )
     if max_doc_freq is not None:
-        rare = (
+        # anti-join the OVER-cap keys, not inner-join the under-cap ones:
+        # on real crawl text almost every shingle is rare, so the under-cap
+        # set is nearly the whole key space (a per-task hash-join build of
+        # ~all entries — the exact OOM shape _cap_hot_buckets hit), while
+        # the over-cap set is bounded by n_entries/max_doc_freq.  Same
+        # surviving entries either way; AQE turns this into a broadcast
+        # join at runtime whenever the hot-key side is small (no forced
+        # broadcast — adversarial substrates can make it large).
+        hot = (
             exploded.groupBy("_g")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_doc_freq)
+            .where(F.col("_df") > max_doc_freq)
             .select("_g")
         )
-        exploded = exploded.join(rare, "_g")
+        exploded = exploded.join(hot, "_g", "left_anti")
     cand = (
         exploded.alias("l")
         .join(
@@ -547,6 +581,80 @@ def _ngram_pair_overlaps(
             F.size(F.array_intersect("_sha", "_shb")).alias("inter_size"),
             F.size("_sha").alias("a_n"),
             F.size("_shb").alias("b_n"),
+        )
+    )
+
+
+def _exploded_pair_overlaps(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_gram: int,
+    max_doc_freq: "int | None",
+    candidate_sample_mod: "int | None",
+) -> DataFrame:
+    """``candidates="exploded"`` body (see ``_ngram_pair_overlaps``): every
+    expression whole-stage codegen, no per-doc arrays, verify bounded by the
+    candidate set.  Output: (id_a, id_b, inter_size, a_n, b_n)."""
+    grams = exploded_gram_stream(df, id_col, text_col, n_gram)
+
+    # -- candidates: bigint gram-hash keys, df-capped, optional mod-p ------
+    keyed = grams.select("_id", F.xxhash64("_g").alias("_k"))
+    if candidate_sample_mod is not None and candidate_sample_mod > 1:
+        keyed = keyed.where(
+            F.pmod(F.col("_k"), F.lit(candidate_sample_mod)) == 0
+        )
+    if max_doc_freq is not None:
+        # occurrence-df cap, anti-joined on the (bounded) hot-key side —
+        # same reasoning as the array path's cap above
+        hot = (
+            keyed.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("_k")
+        )
+        keyed = keyed.join(hot, "_k", "left_anti")
+    cand = (
+        keyed.alias("l")
+        .join(
+            keyed.alias("r").hint("shuffle_hash"),
+            (F.col("l._k") == F.col("r._k")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # -- verify: distinct STRING grams of candidate docs only --------------
+    # The id semi-join runs BELOW the distinct, so the (potentially
+    # billions-of-rows) gram stream is filtered by a join AQE converts to
+    # broadcast whenever the candidate id set is small; the distinct and
+    # everything after see only candidate docs' grams.
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .dropDuplicates(["_id"])
+    )
+    gsel = grams.join(ids, "_id").dropDuplicates(["_id", "_g"])
+    counts = gsel.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cand.join(gsel.select(F.col("_id").alias("id_a"), "_g"), "id_a")
+        .join(gsel.select(F.col("_id").alias("id_b"), "_g"), ["id_b", "_g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        # left join + coalesce: a candidate pair whose only shared KEY was a
+        # hash collision has zero truly-shared grams and must score 0, not
+        # vanish into an inner join
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("a_n")), "id_a")
+        .join(counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("b_n")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("inter_size"), F.lit(0)).alias("inter_size"),
+            "a_n",
+            "b_n",
         )
     )
 
@@ -666,35 +774,28 @@ def simhash_fingerprints(
 
     Path split (the r4 minhash lesson, applied r5): the FAST family streams
     gram positions through ``exploded_gram_stream`` — every expression in
-    whole-stage codegen, no HOF — then dedups (_id, hash) in a map-side-
-    combining hash agg (SimHash votes count each distinct shingle once, and
-    distinct-on-hash is vote-identical to distinct-on-gram short of a 64-bit
-    collision).  Measured 2.5× on the 2M-row web_pages substrate.  Per-doc
-    boundedness comes from truncating to the first SIMHASH_MAX_SHINGLES gram
-    POSITIONS (the md5 path caps distinct grams instead — immaterial below
-    the cap, which sf-test docs never reach).  The md5 family keeps the
-    HOF-shingle shape so its fingerprints stay bit-identical to the DuckDB
-    oracle's distinct-gram-string semantics.
+    whole-stage codegen, no HOF — and votes each gram OCCURRENCE
+    (frequency-weighted features, Charikar's original formulation and what
+    Manku et al. run in production).  Multiset votes make the vote agg
+    map-side-COMPLETE: a doc's grams never leave the partition its row was
+    scanned in (explode keeps them local), so the per-id partial agg
+    finishes every doc locally and the only exchange carries 24M finished
+    (id, 17-long) rows — no 1.2B-row (19 GB at 24M docs) gram shuffle.  A
+    distinct-gram pre-dedup is what forced that shuffle in an earlier shape
+    (repartition(_id) + dropDuplicates: ~13 min at 24M vs ~2 min for
+    minhash on the SAME gram volume).  Per-doc boundedness comes from
+    truncating to the first SIMHASH_MAX_SHINGLES gram POSITIONS.  The md5
+    family keeps the HOF-shingle DISTINCT-gram shape so its fingerprints
+    stay bit-identical to the DuckDB oracle's distinct-gram-string
+    semantics — the two families are different (both standard) SimHash
+    variants and their fingerprints are not comparable across families.
     """
     if hash_fn == "xxhash64":
         bits = 64
-        # ONE explicit shuffle keyed by doc id; both the distinct-shingle
-        # agg and the vote agg below then run shuffle-free on top of it
-        # (hash-partitioning on _id satisfies clustering by (_id, _h) AND by
-        # _id), with per-partition hash maps of only n_docs/n_partitions
-        # keys.  Letting dropDuplicates plan its own (_id, _h) exchange
-        # instead puts a partial agg under it whose per-task map spans ALL
-        # doc ids (~280 MB each at 2M docs — spill city), then a second
-        # full exchange for the vote agg: measured 4× slower end-to-end.
-        sh = (
-            exploded_gram_stream(
-                df, id_col, text_col, n_gram,
-                max_positions=SIMHASH_MAX_SHINGLES,
-            )
-            .select("_id", F.xxhash64("_g").alias("_h"))
-            .repartition("_id")
-            .dropDuplicates(["_id", "_h"])
-        )
+        sh = exploded_gram_stream(
+            df, id_col, text_col, n_gram,
+            max_positions=SIMHASH_MAX_SHINGLES,
+        ).select("_id", F.xxhash64("_g").alias("_h"))
     elif hash_fn == "md5":
         # 15 hex nibbles = 60 bits, always non-negative (fits signed bigint)
         bits = 60
@@ -763,6 +864,7 @@ def simhash_near_duplicates(
     hash_fn: str = "xxhash64",
     max_bucket_size: "int | None" = None,
     combo_blocks: "int | None" = None,
+    join_partitions: "int | None" = None,
 ) -> DataFrame:
     """SimHash near-dups: block on bit-slices (4 rotations) so only rows
     agreeing on one block are compared — a pigeonhole guarantee for
@@ -824,9 +926,15 @@ def simhash_near_duplicates(
             structs.append(
                 F.struct(F.lit(ci).alias("blk"), key.alias("key"))
             )
+        # ids-only through the C(k, k-h)×-amplified shuffle (20× at k=6,
+        # h=3) — the fingerprint rides along only in the single-block path,
+        # whose 4× amplification makes carrying it cheaper than a join
+        # back; at 20× the 8-byte _fp is a third of the entry row, so it
+        # joins back onto the (few) surviving candidates instead, exactly
+        # the minhash candidates-then-verify split above.
         blocked = fp.select(
-            "_id", "_fp", F.explode(F.array(*structs)).alias("_b")
-        ).select("_id", "_fp", "_b.blk", "_b.key")
+            "_id", F.explode(F.array(*structs)).alias("_b")
+        ).select("_id", "_b.blk", "_b.key")
     else:
         if block_bits is None:
             block_bits = max(total_bits // (max_hamming + 1), 1)
@@ -854,24 +962,48 @@ def simhash_near_duplicates(
             ).alias("_b"),
         ).select("_id", "_fp", "_b.blk", "_b.key")
     blocked = _cap_hot_buckets(blocked, ["blk", "key"], max_bucket_size)
+    if join_partitions is not None:
+        # Shuffle-hash build maps must fit per-task execution memory
+        # (~exec_pool/cores); AQE's 64 MB advisory target leaves ~1.9M-row
+        # builds at 480M entries — marginal on a 16 GB local JVM.  An
+        # explicit repartition on the join keys sets the granularity
+        # directly (it IS the join exchange — satisfies the clustering
+        # requirement, so no extra shuffle; self-join reuses it for both
+        # sides).  Size it so entries/join_partitions ≈ a few hundred k.
+        blocked = blocked.repartition(join_partitions, "blk", "key")
     # shuffle-hash, not sort-merge: both sides are the same exploded stream
     # (n_blocks×N rows) and per-partition build maps are small; skipping the
     # two 40M-row sorts measured 6× on the 2M-row web_pages substrate
-    pairs = (
-        blocked.alias("l")
-        .join(
-            blocked.alias("r").hint("shuffle_hash"),
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    joined = blocked.alias("l").join(
+        blocked.alias("r").hint("shuffle_hash"),
+        (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l._id") < F.col("r._id")),
     )
+    if combo_blocks is not None:
+        cand = joined.select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+        fp_a = fp.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fpa"))
+        fp_b = fp.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fpb"))
+        pairs = (
+            cand.join(fp_a, "id_a")
+            .join(fp_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                hamming64(F.col("_fpa"), F.col("_fpb")).alias("hamming"),
+            )
+        )
+    else:
+        pairs = (
+            joined.select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                hamming64(F.col("l._fp"), F.col("r._fp")).alias("hamming"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return pairs.where(F.col("hamming") <= max_hamming)
 
 

@@ -847,3 +847,55 @@ def test_winnow_candidates_find_near_dups_exactly(spark):
         ngram_jaccard_pairs(df, "doc_id", candidates="bogus").collect()
     with pytest.raises(ValueError, match="hash_fn"):
         winnowed_keys(df, "doc_id", hash_fn="sha1").collect()
+
+
+def test_exploded_candidates_match_array_path_exactly(spark):
+    # candidates="exploded" (the zero-array 24M+ shape) must reproduce the
+    # array path's pair set AND scores exactly when no cap binds: candidate
+    # keys are gram hashes (collisions only add candidates), verification
+    # is distinct-string-gram arithmetic on candidate docs only.
+    from schema_validator_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i} tok{i} y{i}" for i in range(30))
+    contained = " ".join(f"w{i} tok{i} y{i}" for i in range(8))
+    rows = [
+        (1, base),
+        (2, base + " tail one two"),
+        (3, "entirely different page text sharing no shingles with others"),
+        (4, contained),
+        (5, contained + " wrapped inside much longer boilerplate " + base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn, col, thr in (
+        (ngram_jaccard_pairs, "jaccard", 0.3),
+        (containment_pairs, "containment", 0.8),
+    ):
+        arrays = {
+            (r["id_a"], r["id_b"]): r[col]
+            for r in fn(df, "doc_id", threshold=thr).collect()
+        }
+        exploded = {
+            (r["id_a"], r["id_b"]): r[col]
+            for r in fn(
+                df, "doc_id", threshold=thr, candidates="exploded"
+            ).collect()
+        }
+        assert exploded == arrays, col
+        assert arrays  # the planted pairs actually exercised the compare
+    # mod-p sampling composes with the exploded stream (deterministic keys)
+    sampled = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.3,
+            candidates="exploded", candidate_sample_mod=4,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.3).collect()
+    }
+    assert sampled.get((1, 2)) == full[(1, 2)]
+    assert set(sampled) <= set(full)
