@@ -384,6 +384,10 @@ def _coercion_truth(target, coerce, v):
             return ("true" if v else "false"), None
         if kind is int:
             return str(v), None
+        if _math.isnan(v):
+            return "NaN", None  # Rust {:.0} spells non-finites NaN/inf/-inf
+        if _math.isinf(v):
+            return ("inf" if v > 0 else "-inf"), None
         if abs(v) < 2.0**63:
             return format(v, ".0f"), None  # Rust {:.0}: half-even, keeps "-0"
         # |x| >= 2^63: DOCUMENTED best-effort divergence
