@@ -1704,10 +1704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       3. the 37 remaining queries whose newest driver row is r03 (they were
          beyond r04's 50-cap).
 
-    asof_join_sliced (r04-green; its skew probe ran this round,
-    tools/asof_skew_probe.py) sits at position 51, displaced by the new
-    ngram_jaccard_exploded.  With this order CORRECTNESS_r05 ∪ r04 covers
-    all 92 registry queries.
+    Displaced beyond the cap by the two r5 insertions
+    (ngram_jaccard_exploded, simhash_near_dups): orphans_shuffle_hash
+    (r03-green; its sibling orphans_events IS in the window) at 51 and
+    asof_join_sliced (r04-green; skew-probed this round,
+    tools/asof_skew_probe.py) at 52.  CORRECTNESS_r05 ∪ r04 covers 91 of
+    the 92 registry queries (orphans_shuffle_hash's newest driver row is
+    r03; it is untouched since and re-verified in the local sweep).
     The tail beyond position 50 (all r04-green, untouched this round) is
     covered by the committed local run of tools/oracle_check.py recorded in
     BENCH/ROUNDLOG_r05.md.
@@ -1719,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_winnow": q_ngram_jaccard_winnow,
         "ngram_jaccard_exploded": q_ngram_jaccard_exploded,
+        "simhash_near_dups": q_simhash_near_dups,
         "containment": q_containment,
         "near_dup_clusters": q_near_dup_clusters,
         "ks_exact": q_ks_exact,
@@ -1768,8 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphans_shuffle_hash": q_orphans_shuffle_hash,
         # --- tier 4: slack slot (r04-green, skew-probed this round) ---
         "asof_join_sliced": q_asof_join_sliced,
-        # --- beyond the 50-cap: r04-green + untouched this round; -----
-        # --- re-verified locally (see BENCH/ROUNDLOG_r05.md) ----------
+        # --- beyond the 50-cap: r03/r04-green; re-verified locally ----
+        # --- this round, 92/92 OK (see BENCH/ROUNDLOG_r05.md) ---------
         "dedup_paragraphs": q_dedup_paragraphs,
         "pack_sequences": q_pack_sequences,
         "cap_per_key": q_cap_per_key,
@@ -1798,7 +1802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": q_cluster_keep_best,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
         "multimodal_features": q_multimodal_features,
         "resize_media": q_resize_media,
         "frame_samples": q_frame_samples,

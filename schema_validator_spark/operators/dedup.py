@@ -154,7 +154,11 @@ def _cap_hot_buckets(
         .where(F.col("_bkt_n") > max_bucket_size)
         .drop("_bkt_n")
     )
-    return entries.join(F.broadcast(bad), key_cols, "left_anti")
+    # no forced broadcast: the over-cap set is ≤ n_entries/cap, which AQE
+    # happily broadcasts at runtime in the common case, but a small cap on
+    # a trillion-entry stream makes it bigger than any driver — same
+    # reasoning as the df cap in _ngram_pair_overlaps
+    return entries.join(bad, key_cols, "left_anti")
 
 
 def _normalized_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -237,6 +241,10 @@ def exploded_gram_stream(
     n = F.size(F.col("_words"))
     last = F.greatest(n - (n_gram - 1), F.lit(1))
     if max_positions is not None:
+        if max_positions < 1:
+            # least(last, 0) would build a DESCENDING sequence and a
+            # slice at index 0 — a mid-job runtime error, not a no-op
+            raise ValueError(f"max_positions must be >= 1, got {max_positions}")
         last = F.least(last, F.lit(max_positions))
     return words.select(
         "_id",
@@ -916,13 +924,18 @@ def simhash_near_duplicates(
 
         keep = combo_blocks - max_hamming
         combos = list(itertools.combinations(range(combo_blocks), keep))
-        # pack each combination's block values into ONE bigint key (blocks
-        # are ≤ 16 bits, so 16-bit lanes never overflow for keep ≤ 3)
+        # pack each combination's block values into ONE bigint key by
+        # shifting each block by the NEXT block's actual width (not a fixed
+        # 16-bit lane, which would let >16-bit blocks overlap lanes —
+        # cross-tuple key collisions — and overflow signed 64-bit under
+        # ANSI for keep ≥ 4).  Kept widths sum to ≤ total_bits ≤ 64, so the
+        # packed key always fits a bigint (the sign bit is fine for a join
+        # key), and distinct block tuples always map to distinct keys.
         structs = []
         for ci, combo in enumerate(combos):
             key = F.lit(0).cast("bigint")
             for b in combo:
-                key = key * F.lit(65536) + _block(b)
+                key = F.shiftleft(key, widths[b]).bitwiseOR(_block(b))
             structs.append(
                 F.struct(F.lit(ci).alias("blk"), key.alias("key"))
             )

@@ -541,6 +541,12 @@ def train_ivf_centroids(
     )
     if sample_mod is not None and sample_mod > 1:
         src = src.where(F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0)
+    # seed hygiene: NULL embeddings (failed embed-job rows — the same rows
+    # the assignment UDF skips) and wrong-dim vectors must not become
+    # centroids; pin the dim from the first healthy row when not given
+    src = src.where(F.col("_v").isNotNull())
+    if dim is not None:
+        src = src.where(F.size("_v") == dim)
     seed_rows = (
         src.orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
         .limit(n_centroids)
@@ -548,9 +554,17 @@ def train_ivf_centroids(
     )
     if not seed_rows:
         raise ValueError("train_ivf_centroids: empty corpus/sample")
-    cents = [[float(x) for x in r["_v"]] for r in seed_rows]
     if dim is None:
-        dim = len(cents[0])
+        dim = len(seed_rows[0]["_v"])
+        seed_rows = [r for r in seed_rows if len(r["_v"]) == dim]
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"train_ivf_centroids: only {len(seed_rows)} usable seed rows "
+            f"for n_centroids={n_centroids} — shrink n_centroids, widen the "
+            "sample (sample_mod), or pass dim= to filter ragged vectors "
+            "before seeding"
+        )
+    cents = [[float(x) for x in r["_v"]] for r in seed_rows]
 
     for _ in range(max(0, iters)):
         C_T = np.array(cents, dtype=np.float64)  # (m, dim)

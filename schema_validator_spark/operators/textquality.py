@@ -101,6 +101,25 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _hashed_feature_value(feature: Column, seed: str, hash_fn: str) -> Column:
+    """Shared (seed|feature) hash for the hashing-trick helpers below — ONE
+    definition so the oracle-parity-critical md5 15-nibble rule (mirrored
+    by ``_md5_60bit_sql`` in __spark_entry__.py) cannot desynchronize
+    between the weight and bucket paths.
+
+    ``hash_fn``: ``"md5"`` (default) is the cross-engine family every
+    external oracle can replay; ``"xxhash64"`` is the fast production path
+    (one native 64-bit hash instead of md5 + hex-string conv — the minhash
+    fast/oracle split, deterministic within Spark only)."""
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
+        ).cast("bigint")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.concat(F.lit(seed + "|"), feature))
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
 def hashed_feature_weight(
     feature: Column, seed: str, hash_fn: str = "md5"
 ) -> Column:
@@ -109,20 +128,9 @@ def hashed_feature_weight(
     fastText-style weight table — a real model would broadcast its bucket →
     weight map and join, but the hashing-trick plumbing is identical.
     Integer weights keep the per-document SUM bit-identical across engines
-    (float sums are order-dependent; bigint sums are not).
-
-    ``hash_fn``: ``"md5"`` (default) is the cross-engine family every
-    external oracle can replay; ``"xxhash64"`` is the fast production path
-    (one native 64-bit hash instead of md5 + hex-string conv — the minhash
-    fast/oracle split, deterministic within Spark only)."""
-    if hash_fn == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
-        ).cast("bigint")
-    elif hash_fn == "xxhash64":
-        h = F.xxhash64(F.concat(F.lit(seed + "|"), feature))
-    else:
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    (float sums are order-dependent; bigint sums are not).  Hash families:
+    see ``_hashed_feature_value``."""
+    h = _hashed_feature_value(feature, seed, hash_fn)
     return (F.pmod(h, F.lit(2001)) - F.lit(1000)).cast("bigint")
 
 
@@ -134,14 +142,7 @@ def hashed_feature_bucket(
     on.  Same two hash families as ``hashed_feature_weight``; the md5
     family is replayable by any engine (DuckDB mirror: 15-nibble conv then
     ``% n_buckets``)."""
-    if hash_fn == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed + "|"), feature)), 1, 15), 16, 10
-        ).cast("bigint")
-    elif hash_fn == "xxhash64":
-        h = F.xxhash64(F.concat(F.lit(seed + "|"), feature))
-    else:
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    h = _hashed_feature_value(feature, seed, hash_fn)
     return F.pmod(h, F.lit(int(n_buckets))).cast("bigint")
 
 
@@ -245,6 +246,12 @@ def quality_classifier(
             F.col(weight_bucket_col).cast("bigint").alias("_bucket"),
             F.col(weight_col).cast("double").alias("_wt"),
         )
+        # a weight table MUST be one row per bucket — a duplicated bucket
+        # (e.g. a concatenated shard export) would silently multiply every
+        # feature landing in it through the join, inflating n_features and
+        # raw_score.  Collapse deterministically (max weight wins) instead
+        # of trusting the export; unique tables pass through unchanged.
+        wtab = wtab.groupBy("_bucket").agg(F.max("_wt").alias("_wt"))
         if broadcast_weights:
             joined = bucketed.join(F.broadcast(wtab), "_bucket", "left")
         else:

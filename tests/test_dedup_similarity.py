@@ -81,20 +81,27 @@ def test_simhash_multi_index_identical_pairs(spark, near_dup_docs):
             F.concat("text", F.lit(" tail9")).alias("text"),
         )
     )
-    for hash_fn, cb in (("xxhash64", 6), ("xxhash64", 5), ("md5", 5)):
+    # cb=3/h=1 gives 22/21/21-bit blocks (wider than a 16-bit lane) and
+    # cb=5/h=1 gives keep=4 — both regimes where a fixed-16-bit-lane key
+    # packing collided across tuples / overflowed signed 64-bit; the
+    # width-shift packing must stay exact there too
+    for hash_fn, cb, h in (
+        ("xxhash64", 6, 3), ("xxhash64", 5, 3), ("md5", 5, 3),
+        ("xxhash64", 3, 1), ("xxhash64", 5, 1),
+    ):
         single = {
             tuple(r)
             for r in dedup.simhash_near_duplicates(
-                docs, "doc_id", max_hamming=3, hash_fn=hash_fn
+                docs, "doc_id", max_hamming=h, hash_fn=hash_fn
             ).collect()
         }
         multi = {
             tuple(r)
             for r in dedup.simhash_near_duplicates(
-                docs, "doc_id", max_hamming=3, hash_fn=hash_fn, combo_blocks=cb
+                docs, "doc_id", max_hamming=h, hash_fn=hash_fn, combo_blocks=cb
             ).collect()
         }
-        assert multi == single, (hash_fn, cb)
+        assert multi == single, (hash_fn, cb, h)
     with pytest.raises(ValueError, match="combo_blocks"):
         dedup.simhash_near_duplicates(
             docs, "doc_id", max_hamming=3, combo_blocks=3
