@@ -129,20 +129,29 @@ _TRIM_RE_JVM = f"^{UNICODE_WHITESPACE_CLASS}+|{UNICODE_WHITESPACE_CLASS}+$"
 def jvm_regex(pattern: str) -> str:
     """Adapt a pattern for Java-regex evaluation with Rust-regex semantics.
 
-    Rust's ``$`` (and RE2's, hence DuckDB's) anchors at the strict end of the
-    haystack; Java's ``$`` also matches before a FINAL LINE TERMINATOR
-    (\\n, \\r, \\u2028, \\u2029, \\u0085), so ``^\\d+$`` would wrongly accept
-    ``"0\\u2028"`` under ``rlike`` (found by property test).  Rewrite a
-    terminal unescaped ``$`` to ``\\z``; ``$`` elsewhere (rare: alternation
-    branches) is left as-is and documented.  Messages always embed the
-    ORIGINAL pattern string.
+    Two dialect repairs (messages always embed the ORIGINAL pattern):
+
+    1. Rust's ``$`` (and RE2's, hence DuckDB's) anchors at the strict end of
+       the haystack; Java's ``$`` also matches before a FINAL LINE TERMINATOR
+       (\\n, \\r, \\u2028, \\u2029, \\u0085), so ``^\\d+$`` would wrongly
+       accept ``"0\\u2028"`` under ``rlike`` (found by property test).
+       Rewrite a terminal unescaped ``$`` to ``\\z``; ``$`` elsewhere (rare:
+       alternation branches) is left as-is and documented.
+    2. Rust's ``\\d``/``\\w``/``\\s``/``\\b`` are Unicode-aware by default
+       (``\\d`` = ``\\p{Nd}`` — the reference's DATE pattern accepts
+       U+0660-digit years, patterns.rs:12); Java's are ASCII unless
+       UNICODE_CHARACTER_CLASS is on.  Prepend the ``(?U)`` inline flag,
+       which turns on exactly that (and Unicode case folding for ``(?i)``,
+       also Rust's behavior).  Patterns spelling explicit classes
+       (``[0-9]``) are unaffected.  The number-coercion parser keeps its
+       ASCII regex separately — Rust's ``str::parse::<f64>`` really is
+       ASCII-only, unlike its regex crate.
     """
-    if not pattern.endswith("$"):
-        return pattern
-    backslashes = len(pattern) - 1 - len(pattern[:-1].rstrip("\\"))
-    if backslashes % 2 == 1:  # escaped \$ — a literal dollar, keep
-        return pattern
-    return pattern[:-1] + "\\z"
+    if pattern.endswith("$"):
+        backslashes = len(pattern) - 1 - len(pattern[:-1].rstrip("\\"))
+        if backslashes % 2 == 0:  # unescaped terminal $ — strict-end anchor
+            pattern = pattern[:-1] + "\\z"
+    return "(?U)" + pattern
 
 
 def rust_f64_to_string(col: Column) -> Column:

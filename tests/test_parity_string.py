@@ -199,3 +199,32 @@ def test_unicode_trim_parity(spark):
     assert_ok(run_one(spark, sch, " 　 hi \t\n "), "hi")
     # but zero-width space U+200B is NOT White_Space — must survive
     assert_ok(run_one(spark, sch, "​hi"), "​hi")
+
+
+def test_pattern_unicode_classes_match_rust_dialect(spark):
+    # Rust's regex crate treats \d as \p{Nd} (Unicode decimal digit) by
+    # default — the reference's own DATE pattern (patterns.rs:12) therefore
+    # accepts an Arabic-Indic-digit year.  Java's \d is ASCII unless
+    # UNICODE_CHARACTER_CLASS is on; compile.jvm_regex prepends (?U) so the
+    # rlike evaluation follows the Rust dialect.  Python re (the property
+    # tests' Rust stand-in) agrees on every case below.
+    import re as _re
+
+    s = schema()
+    cases = [
+        ("٤٢", True),            # Arabic-Indic digits: Rust \d+ matches
+        ("42", True),
+        ("4٢", True),            # mixed scripts still all-digits
+        ("x1", False),
+        ("", False),
+    ]
+    sch = s.string().pattern(r"^\d+$")
+    r = run_cases(spark, sch, [v for v, _ in cases])
+    for (v, want), (out, viol) in zip(cases, r):
+        assert _re.search(r"^\d+\Z", v) is not None is (viol is None) or (
+            (_re.search(r"^\d+\Z", v) is not None) == (viol is None)
+        ), v
+        assert (viol is None) == want, (v, viol)
+    # \w and \s follow too ((?U) switches the whole family)
+    w = run_cases(spark, s.string().pattern(r"^\w+$"), ["héllo", "héllo!"])
+    assert w[0][1] is None and w[1][1] is not None
