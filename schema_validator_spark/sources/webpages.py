@@ -101,7 +101,7 @@ def generate_web_pages(
 
 
 def html_stats(df: DataFrame, id_col: str, html_col: str = "html") -> DataFrame:
-    """Structural crawl-quality signals straight off the raw HTML — the
+    r"""Structural crawl-quality signals straight off the raw HTML — the
     jusText/trafilatura-style boilerplate discriminators computed WITHOUT a
     DOM parser: tag-open counts (links, headers, scripts, paragraphs), raw
     markup size, extracted-text length, and the text-to-markup ratio
