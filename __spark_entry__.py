@@ -762,6 +762,63 @@ def q_html_stats(spark, sf_dir):
     return html_stats(h, "doc_id")
 
 
+def _curation_urls(spark, sf_dir):
+    """Deterministic crawl-URL substrate over documents: one dup-bomb host
+    (doc_id%7==0, only 3 distinct pages → dup_share ≈ 0.96), singleton hosts
+    (doc_id%101==3, n_docs=1), the rest spread over 23 healthy hosts with
+    unique pages; mixed-case hosts + an occasional userinfo prefix exercise
+    host_of's lowercasing and last-@ rules.  Pure integer/CASE math so DuckDB
+    rebuilds the identical strings."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    did = F.col("doc_id")
+    host0 = (
+        F.when(F.pmod(did, 7) == 0, F.lit("BigHost.Example.COM"))
+        .when(
+            F.pmod(did, 101) == 3,
+            F.concat(F.lit("lonely-"), did.cast("string"), F.lit(".example.net")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("host-"), F.pmod(did, 23).cast("string"), F.lit(".example.org")
+            )
+        )
+    )
+    ui = F.when(F.pmod(did, 13) == 1, F.lit("crawler:Tok3n@")).otherwise(F.lit(""))
+    path = F.when(F.pmod(did, 7) == 0, F.pmod(did, 3)).otherwise(did)
+    url = F.concat(
+        F.lit("https://"), ui, host0, F.lit("/doc/"), path.cast("string")
+    )
+    return docs.select("doc_id", url.alias("url"), "n_chars")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain-level curation aggregates (CCNet/RefinedWeb URL-filtering
+    step): per-host doc/page counts, dup share, size sums and the keep
+    verdict — ONE partial-aggregated hash agg keyed on the extracted host."""
+    from schema_validator_spark.sources.webpages import domain_stats
+
+    return domain_stats(
+        _curation_urls(spark, sf_dir),
+        url_col="url",
+        size_col="n_chars",
+        min_docs=3,
+        max_dup_share=0.5,
+    )
+
+
+def q_domain_filter(spark, sf_dir):
+    """Corpus rows surviving the domain verdict — aggregate pass + LEFT SEMI
+    join on the kept-host set (broadcast under AQE here; shuffle-hash with a
+    ∝-#domains build side at crawl scale), never a by-host window."""
+    from schema_validator_spark.sources.webpages import domain_filter
+
+    return domain_filter(
+        _curation_urls(spark, sf_dir), url_col="url", min_docs=3, max_dup_share=0.5
+    ).select("doc_id", "url")
+
+
 def q_iqr_outliers(spark, sf_dir):
     """Tukey-fence outlier gate on n_chars: integer data makes the exact
     percentile interpolation land on binary-exact quarters, so fences and
@@ -1704,19 +1761,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       3. the 37 remaining queries whose newest driver row is r03 (they were
          beyond r04's 50-cap).
 
-    Displaced beyond the cap by the two r5 insertions
-    (ngram_jaccard_exploded, simhash_near_dups): orphans_shuffle_hash
-    (r03-green; its sibling orphans_events IS in the window) at 51 and
-    asof_join_sliced (r04-green; skew-probed this round,
-    tools/asof_skew_probe.py) at 52.  CORRECTNESS_r05 ∪ r04 covers 91 of
-    the 92 registry queries (orphans_shuffle_hash's newest driver row is
-    r03; it is untouched since and re-verified in the local sweep).
+    Displaced beyond the cap by the four r5 insertions (domain_stats,
+    domain_filter, ngram_jaccard_exploded, simhash_near_dups):
+    dedup_agg and dedup_window (r03-green; their mechanics-siblings
+    duplicate_keys_lang/salted and canonical_dedup ARE in the window),
+    orphans_shuffle_hash (r03-green; its sibling orphans_events IS in the
+    window), and asof_join_sliced (r04-green; skew-probed this round,
+    tools/asof_skew_probe.py).  CORRECTNESS_r05 ∪ r04 covers all but the
+    three r03-green displacements above, each untouched since r3 and
+    re-verified in this round's committed local 94/94 sweep.
     The tail beyond position 50 (all r04-green, untouched this round) is
     covered by the committed local run of tools/oracle_check.py recorded in
     BENCH/ROUNDLOG_r05.md.
     """
     return {
         # --- tier 1: touched in round 5 -------------------------------
+        "domain_stats": q_domain_stats,
+        "domain_filter": q_domain_filter,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_table": q_quality_classifier_table,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2874,6 +2935,61 @@ SELECT 'n_chars' AS col_name,
          + coalesce(sum((src.n_chars > f.hi)::BIGINT), 0))
         / greatest(count(src.n_chars), 1)::DOUBLE, 6) AS outlier_rate
 FROM f LEFT JOIN src ON TRUE
+""",
+        # domain curation: the url substrate is pure integer/CASE math
+        # (same strings as _curation_urls); host extraction replays the
+        # dialect-neutral host_of regex, with the DuckDB no-match-NULL trap
+        # coalesced.  Shares are (double)n_pages/n_docs on BOTH sides.
+        "domain_stats": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+    'https://'
+      || CASE WHEN doc_id % 13 = 1 THEN 'crawler:Tok3n@' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN 'BigHost.Example.COM'
+              WHEN doc_id % 101 = 3 THEN 'lonely-' || CAST(doc_id AS VARCHAR) || '.example.net'
+              ELSE 'host-' || CAST(doc_id % 23 AS VARCHAR) || '.example.org' END
+      || '/doc/'
+      || CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id % 3 ELSE doc_id END AS VARCHAR) AS url
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+h AS (
+  SELECT doc_id, url, n_chars,
+    lower(coalesce(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1), '')) AS host
+  FROM u
+)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+  round(1.0 - CAST(count(DISTINCT url) AS DOUBLE) / count(*), 6) AS dup_share,
+  (count(*) >= 3 AND
+   1.0 - CAST(count(DISTINCT url) AS DOUBLE) / count(*) <= 0.5) AS kept,
+  CAST(sum(n_chars) AS BIGINT) AS sum_size,
+  round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_size
+FROM h GROUP BY host
+""",
+        "domain_filter": """
+WITH u AS (
+  SELECT doc_id,
+    'https://'
+      || CASE WHEN doc_id % 13 = 1 THEN 'crawler:Tok3n@' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN 'BigHost.Example.COM'
+              WHEN doc_id % 101 = 3 THEN 'lonely-' || CAST(doc_id AS VARCHAR) || '.example.net'
+              ELSE 'host-' || CAST(doc_id % 23 AS VARCHAR) || '.example.org' END
+      || '/doc/'
+      || CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id % 3 ELSE doc_id END AS VARCHAR) AS url
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+h AS (
+  SELECT doc_id, url,
+    lower(coalesce(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1), '')) AS host
+  FROM u
+),
+s AS (SELECT host, count(*) AS n_docs, count(DISTINCT url) AS n_pages
+      FROM h GROUP BY host)
+SELECT h.doc_id, h.url FROM h JOIN s USING (host)
+WHERE s.n_docs >= 3 AND 1.0 - CAST(s.n_pages AS DOUBLE) / s.n_docs <= 0.5
 """,
         "html_stats": """
 WITH h AS (

@@ -240,6 +240,116 @@ def normalize_url(url):
     return F.when(scheme == "", F.trim(url)).otherwise(normalized)
 
 
+def host_of(url):
+    """Lowercased host of an absolute URL (authority minus userinfo/port) —
+    the grouping key for domain-level curation.  Userinfo splits at the LAST
+    ``@`` (same rule as :func:`normalize_url`); the port is excluded because
+    the character class stops at ``:``.  Dialect-neutral regex (Java ≡ RE2 ≡
+    DuckDB) so oracles replay it byte-for-byte.  Bracketed IPv6 literals are
+    out of scope (not registrable domains): the ``:`` stop yields just ``[``
+    for them, one junk bucket a caller can drop.  No scheme → '' (Spark's
+    regexp_extract no-match convention; DuckDB oracles must COALESCE)."""
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)", 1)
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    size_col: "str | None" = None,
+    min_docs: int = 2,
+    max_dup_share: float = 0.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-host curation aggregates + keep verdict — the domain-level
+    filtering step of web-corpus pipelines (CCNet's URL filtering,
+    RefinedWeb/FineWeb domain blocklists): hosts that are mostly duplicated
+    pages (mirrors, scraped boilerplate, session-id spam) or too small to
+    judge get ``kept = false``.
+
+    Output: (host, n_docs, n_pages, dup_share, kept [, sum_size, avg_size])
+    where ``n_pages`` counts distinct URLs and ``dup_share`` is
+    ``1 - n_pages/n_docs`` (0 = every doc its own page).  The verdict is
+    evaluated on the UNROUNDED share; the emitted ``dup_share``/``avg_size``
+    are rounded to 6 places for cross-engine comparability.
+
+    100 TB shape: ONE hash aggregation keyed by host — partial (map-side)
+    aggregation means a hot host (20% of the crawl on one domain is normal)
+    arrives at its reducer as per-partition partials, never raw rows.  The
+    output is ∝ #domains (~10⁸), orders of magnitude under the row count.
+    ``approx=True`` swaps the exact distinct-URL count (an Expand-based
+    two-phase agg: one extra pass, still partial-aggregated) for HLL
+    ``approx_count_distinct`` — same single-agg plan, no Expand; use it when
+    URLs-per-host is unbounded and ±2% on dup_share is acceptable (the
+    verdict threshold is a heuristic anyway).  Not oracle-comparable.
+    """
+    host = host_of(F.col(url_col)).alias("host")
+    cols = [host, F.col(url_col).alias("_url")]
+    if size_col is not None:
+        cols.append(F.col(size_col).alias("_size"))
+    base = df.select(*cols)
+    n_pages = (
+        F.approx_count_distinct("_url") if approx else F.countDistinct("_url")
+    ).alias("n_pages")
+    aggs = [F.count(F.lit(1)).alias("n_docs"), n_pages]
+    if size_col is not None:
+        aggs.append(F.sum("_size").alias("sum_size"))
+    stats = base.groupBy("host").agg(*aggs)
+    share = F.lit(1.0) - F.col("n_pages").cast("double") / F.col("n_docs")
+    out = stats.select(
+        "host",
+        "n_docs",
+        "n_pages",
+        F.round(share, 6).alias("dup_share"),
+        ((F.col("n_docs") >= F.lit(min_docs)) & (share <= F.lit(max_dup_share))).alias(
+            "kept"
+        ),
+        *(
+            [
+                F.col("sum_size").cast("bigint").alias("sum_size"),
+                F.round(F.col("sum_size").cast("double") / F.col("n_docs"), 6).alias(
+                    "avg_size"
+                ),
+            ]
+            if size_col is not None
+            else []
+        ),
+    )
+    return out
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    min_docs: int = 2,
+    max_dup_share: float = 0.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep only rows whose host passes :func:`domain_stats` — two passes
+    over the corpus (aggregate, then LEFT SEMI join on the ∝-#domains kept
+    set), never a by-host window over the raw rows (that would shuffle the
+    full 100 TB by host and sort the hot domain's rows into one task).  AQE
+    broadcasts the kept-host set when it is small; otherwise a shuffle-hash
+    semi join whose build side is bounded by #kept-domains per task."""
+    good = (
+        domain_stats(
+            df,
+            url_col=url_col,
+            min_docs=min_docs,
+            max_dup_share=max_dup_share,
+            approx=approx,
+        )
+        .where(F.col("kept"))
+        .select("host")
+    )
+    tagged = df.withColumn("_host", host_of(F.col(url_col)))
+    return (
+        tagged.join(good, tagged["_host"] == good["host"], "left_semi")
+        .drop("_host")
+    )
+
+
 def lang_dim(spark: SparkSession) -> DataFrame:
     names = {
         "en": "English", "de": "German", "fr": "French", "es": "Spanish",

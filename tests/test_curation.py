@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from schema_validator_spark.operators import sampling
 from schema_validator_spark.operators.textquality import quality_classifier
-from schema_validator_spark.plans.inspect import plan_stats
+from schema_validator_spark.plans.inspect import plan_stats, plan_string
 
 
 @pytest.fixture(scope="module")
@@ -396,3 +396,91 @@ def test_output_column_collisions_rejected(spark):
     )
     with pytest.raises(ValueError, match="fingerprint"):
         dedup_against_catalog(df3, df3.select("fingerprint"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# domain-level curation (webpages.domain_stats / domain_filter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def crawl(spark):
+    rows = [
+        # healthy host (case-variant spelling, a port, a userinfo prefix all
+        # collapse onto one host; every doc its own page)
+        (1, "https://Good.Example.org/a", 10),
+        (2, "https://good.example.org:8080/b", 20),
+        (3, "https://u:PW@good.example.org/c", 30),
+        # mirror host: 4 docs on 2 pages -> dup_share 0.5
+        (4, "https://mirror.example.com/x", 5),
+        (5, "https://mirror.example.com/x", 5),
+        (6, "https://mirror.example.com/x", 5),
+        (7, "https://mirror.example.com/y", 5),
+        # singleton host -> fails min_docs
+        (8, "https://tiny.example.net/only", 7),
+        # schemeless value -> '' junk bucket
+        (9, "not-a-url", 1),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, nbytes long")
+
+
+def test_domain_stats_values(spark, crawl):
+    from schema_validator_spark.sources.webpages import domain_stats
+
+    out = {
+        r["host"]: r
+        for r in domain_stats(
+            crawl, "url", size_col="nbytes", min_docs=2, max_dup_share=0.4
+        ).collect()
+    }
+    assert set(out) == {"good.example.org", "mirror.example.com", "tiny.example.net", ""}
+    g = out["good.example.org"]
+    assert (g["n_docs"], g["n_pages"], g["dup_share"], g["kept"]) == (3, 3, 0.0, True)
+    assert (g["sum_size"], g["avg_size"]) == (60, 20.0)
+    m = out["mirror.example.com"]
+    assert (m["n_docs"], m["n_pages"], m["dup_share"], m["kept"]) == (4, 2, 0.5, False)
+    assert (m["sum_size"], m["avg_size"]) == (20, 5.0)
+    assert out["tiny.example.net"]["kept"] is False  # min_docs
+    assert out[""]["n_docs"] == 1 and out[""]["kept"] is False
+
+
+def test_domain_stats_approx_same_verdicts(spark, crawl):
+    from schema_validator_spark.sources.webpages import domain_stats
+
+    exact = domain_stats(crawl, "url", min_docs=2, max_dup_share=0.4)
+    approx = domain_stats(crawl, "url", min_docs=2, max_dup_share=0.4, approx=True)
+    e = {r["host"]: r for r in exact.collect()}
+    a = {r["host"]: r for r in approx.collect()}
+    assert set(e) == set(a)
+    for h in e:  # HLL is exact at these cardinalities
+        assert e[h]["n_docs"] == a[h]["n_docs"]
+        assert e[h]["kept"] == a[h]["kept"]
+
+
+def test_domain_filter_survivors_and_plan(spark, crawl):
+    from schema_validator_spark.sources.webpages import domain_filter
+
+    out = domain_filter(crawl, "url", min_docs=2, max_dup_share=0.4)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+    assert out.columns == crawl.columns  # helper column dropped
+    p = plan_string(out)
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    s = plan_stats(out)
+    assert s["python_evals"] == 0
+
+
+def test_host_of_edges(spark):
+    from schema_validator_spark.sources.webpages import host_of
+
+    df = spark.createDataFrame(
+        [
+            ("https://A.B.c/x",),
+            ("http://u@H.example:80/p",),
+            ("ftp://h1.example",),
+            ("no-scheme.example/x",),
+            ("https://[::1]:443/x",),  # bracketed IPv6: documented junk bucket
+        ],
+        "u string",
+    )
+    got = [r[0] for r in df.select(host_of(F.col("u"))).collect()]
+    assert got == ["a.b.c", "h.example", "h1.example", "", "["]
